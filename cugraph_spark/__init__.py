@@ -1,0 +1,21 @@
+"""cugraph_spark — a PySpark-native link-graph analytics engine.
+
+Re-creates the core capabilities of RAPIDS cuGraph (reference at
+/root/reference, surveyed in SURVEY.md) with idiomatic Spark: the graph
+is an edge DataFrame (src, dst, weight); algorithms are declarative
+DataFrame plans driven by a superstep loop; the heavy per-partition
+work runs in Arrow-vectorized pandas UDFs; skew/partitioning/shuffle
+are handled explicitly for 100 TB-scale inputs.
+"""
+
+from .graph import (  # noqa: F401
+    Graph,
+    renumber,
+    symmetrize,
+    unrenumber,
+    remove_self_loops,
+    drop_multi_edges,
+)
+from .operators.pagerank import FailedToConvergeError, pagerank  # noqa: F401
+
+__version__ = "0.1.0"

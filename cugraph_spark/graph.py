@@ -1,0 +1,314 @@
+"""Graph data model: an edge DataFrame ``(src, dst, weight)`` holder.
+
+Re-creates the reference's COO-edge-list graph abstraction
+(cugraph ``simpleGraph.py:43-75``: srcCol="src", dstCol="dst",
+edgeWeightCol="weights") with idiomatic Spark DataFrames. There is no
+CSR materialization at the Graph level — per-partition CSR blocks are
+an execution detail of the iterative operators (see
+``operators/pagerank.py`` csr mode), exactly as the reference builds
+CSR inside graph_t, not in the user-facing edge list.
+
+Semantics carried over from the reference:
+
+- undirected == symmetrized directed: union with the reversed edge list
+  then dedup keeping the *minimum* weight on conflicting duplicates
+  (cugraph ``structure/symmetrize.py:85-100,305-323``).
+- renumbering maps arbitrary external ids (any type) to dense internal
+  ``[0, V)`` longs (cugraph ``structure/number_map.py:464-601``). We use a
+  deterministic dense assignment (ordered by external id) so results are
+  exactly reproducible across runs and engines; the reference orders by
+  degree descending as a GPU kernel optimization
+  (``renumber_edgelist_impl.cuh:538-545``) — a placement choice, not a
+  semantic one.
+- multi-edge dedup / self-loop removal mirror
+  ``structure/remove_multi_edges.cu`` / ``remove_self_loops_impl.cuh``.
+
+Scale notes (100 TB target): every op below is a pure DataFrame plan —
+Catalyst handles pushdown/pruning; the only shuffles are the groupBys
+and the renumber join, all keyed on vertex id which is the engine-wide
+partitioning key, so successive stages reuse the exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SRC = "src"
+DST = "dst"
+WGT = "weight"
+
+
+def _check_edge_cols(edges: DataFrame, weighted: bool) -> DataFrame:
+    cols = set(edges.columns)
+    if SRC not in cols or DST not in cols:
+        raise ValueError(f"edge DataFrame needs columns '{SRC}','{DST}'; got {edges.columns}")
+    out = [F.col(SRC).cast("long").alias(SRC), F.col(DST).cast("long").alias(DST)]
+    if weighted:
+        if WGT in cols:
+            out.append(F.col(WGT).cast("double").alias(WGT))
+        else:
+            out.append(F.lit(1.0).alias(WGT))
+    else:
+        out.append(F.lit(1.0).alias(WGT))
+    return edges.select(*out)
+
+
+def symmetrize(edges: DataFrame) -> DataFrame:
+    """Union with reversed edges, dedup keeping min weight.
+
+    Exact semantics of cugraph ``symmetrize.py:85-100`` (groupby
+    [src,dst].min() after `_add_reverse_edges` :305-323). One shuffle on
+    (src,dst); Catalyst partial-aggregates map-side.
+    """
+    rev = edges.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST), F.col(WGT))
+    return (
+        edges.select(SRC, DST, WGT)
+        .unionByName(rev)
+        .groupBy(SRC, DST)
+        .agg(F.min(WGT).alias(WGT))
+    )
+
+
+def remove_self_loops(edges: DataFrame) -> DataFrame:
+    """cugraph ``structure/remove_self_loops_impl.cuh`` → a plain filter
+    (pushed into the scan by Catalyst)."""
+    return edges.filter(F.col(SRC) != F.col(DST))
+
+
+def drop_multi_edges(edges: DataFrame, keep: str = "min") -> DataFrame:
+    """Dedup parallel edges (cugraph ``remove_multi_edges.cu``;
+    invoked from ``simpleGraph.py:307``). keep='min'|'sum' weight policy."""
+    agg = F.min(WGT) if keep == "min" else F.sum(WGT)
+    return edges.groupBy(SRC, DST).agg(agg.alias(WGT))
+
+
+def renumber(
+    edges: DataFrame, src_col: str = SRC, dst_col: str = DST
+) -> tuple[DataFrame, DataFrame]:
+    """Map external ids (any type) to dense internal longs ``[0, V)``.
+
+    Mirrors cugraph ``NumberMap.renumber`` (number_map.py:111-139:
+    distinct union of endpoints + dense sequential assignment, then join
+    back onto the edge list via add_internal_vertex_id :185-210).
+
+    Returns (renumbered_edges(src,dst[,weight]), mapping(id, external)).
+
+    Dense ids are assigned deterministically in external-id order using a
+    global row_number. At 100 TB scale the window-over-everything variant
+    would be a single-partition sort; we instead use zipWithIndex over a
+    sorted distinct-vertex RDD (distributed sort + per-partition offsets
+    — the classic dense-rank-without-a-window idiom, and the engine's
+    only RDD use, cf. SURVEY.md §7.2).
+    """
+    verts = (
+        edges.select(F.col(src_col).alias("external"))
+        .unionByName(edges.select(F.col(dst_col).alias("external")))
+        .distinct()
+        .sort("external")
+    )
+    schema = "external " + dict(verts.dtypes)["external"] + ", id long"
+    mapping = verts.rdd.map(lambda r: r[0]).zipWithIndex().map(lambda t: (t[0], t[1]))
+    mapping_df = verts.sparkSession.createDataFrame(mapping, schema=schema).select("id", "external")
+
+    other = [c for c in edges.columns if c not in (src_col, dst_col)]
+    out = (
+        edges.join(mapping_df.withColumnRenamed("external", src_col), src_col)
+        .withColumnRenamed("id", "__src_id")
+        .join(mapping_df.withColumnRenamed("external", dst_col), dst_col)
+        .withColumnRenamed("id", "__dst_id")
+        .select(
+            F.col("__src_id").alias(SRC), F.col("__dst_id").alias(DST), *[F.col(c) for c in other]
+        )
+    )
+    return out, mapping_df
+
+
+def unrenumber(result: DataFrame, mapping: DataFrame, col: str = "vertex") -> DataFrame:
+    """Join internal ids back to external ids (number_map.py:603)."""
+    out_cols = [
+        F.col("external").alias(col) if c == col else F.col(c)
+        for c in result.columns
+    ]
+    return result.join(mapping, result[col] == mapping["id"]).select(*out_cols)
+
+
+class Graph:
+    """Property-less directed/undirected multigraph over an edge DataFrame.
+
+    Spark-native analog of ``cugraph.Graph`` (graph_classes.py:59-62):
+    holds the COO edge DataFrame; undirected graphs are physically the
+    symmetrized directed edge list (§1.4 of SURVEY.md).
+    """
+
+    def __init__(
+        self,
+        edges: DataFrame,
+        directed: bool = True,
+        weighted: bool = True,
+        multi_edge: bool = False,
+        renumbered_mapping: DataFrame | None = None,
+    ):
+        e = _check_edge_cols(edges, weighted)
+        if not multi_edge:
+            e = drop_multi_edges(e, keep="min")
+        if not directed:
+            e = symmetrize(e)
+        self.edges = e
+        self.directed = directed
+        self.weighted = weighted
+        self.mapping = renumbered_mapping
+
+    # ---- construction helpers (cugraph from_*_edgelist analogs) ----
+
+    @classmethod
+    def from_edgelist(
+        cls,
+        edges: DataFrame,
+        src_col: str = SRC,
+        dst_col: str = DST,
+        weight_col: str | None = None,
+        directed: bool = True,
+        do_renumber: bool = False,
+    ) -> "Graph":
+        """cugraph ``from_cudf_edgelist`` analog (graph_classes.py:107-205).
+
+        With ``do_renumber=True`` external ids of any type are mapped to
+        dense longs and the mapping retained for ``unrenumber``.
+        """
+        sel = [F.col(src_col).alias(SRC), F.col(dst_col).alias(DST)]
+        if weight_col is not None:
+            sel.append(F.col(weight_col).cast("double").alias(WGT))
+        e = edges.select(*sel)
+        mapping = None
+        if do_renumber:
+            e, mapping = renumber(e)
+        return cls(e, directed=directed, weighted=weight_col is not None,
+                   renumbered_mapping=mapping)
+
+    @classmethod
+    def from_pandas_edgelist(cls, spark, pdf, **kw) -> "Graph":
+        return cls.from_edgelist(spark.createDataFrame(pdf), **kw)
+
+    # ---- introspection (simpleGraph.py:808-855,1278-1369) ----
+
+    def vertices(self) -> DataFrame:
+        return (
+            self.edges.select(F.col(SRC).alias("vertex"))
+            .unionByName(self.edges.select(F.col(DST).alias("vertex")))
+            .distinct()
+        )
+
+    def number_of_vertices(self) -> int:
+        return self.vertices().count()
+
+    def number_of_edges(self) -> int:
+        n = self.edges.count()
+        return n // 2 if not self.directed else n
+
+    def has_node(self, v) -> bool:
+        return self.vertices().filter(F.col("vertex") == v).limit(1).count() > 0
+
+    def has_edge(self, u, v) -> bool:
+        return (
+            self.edges.filter((F.col(SRC) == u) & (F.col(DST) == v)).limit(1).count() > 0
+        )
+
+    def density(self) -> float:
+        v = self.number_of_vertices()
+        e = self.number_of_edges()
+        if v <= 1:
+            return 0.0
+        d = e / (v * (v - 1))
+        return d if self.directed else 2 * d
+
+    # ---- degrees (simpleGraph.py:856-1129) ----
+
+    def out_degree(self) -> DataFrame:
+        return (
+            self.vertices()
+            .join(
+                self.edges.groupBy(F.col(SRC).alias("vertex")).agg(F.count("*").alias("out_degree")),
+                "vertex",
+                "left",
+            )
+            .select("vertex", F.coalesce("out_degree", F.lit(0)).cast("long").alias("out_degree"))
+        )
+
+    def in_degree(self) -> DataFrame:
+        return (
+            self.vertices()
+            .join(
+                self.edges.groupBy(F.col(DST).alias("vertex")).agg(F.count("*").alias("in_degree")),
+                "vertex",
+                "left",
+            )
+            .select("vertex", F.coalesce("in_degree", F.lit(0)).cast("long").alias("in_degree"))
+        )
+
+    def degree(self) -> DataFrame:
+        """in+out for directed; neighbor count counted once per direction
+        for undirected (matching cugraph where undirected storage is
+        symmetrized so degree == out_degree of the stored graph)."""
+        if not self.directed:
+            return self.out_degree().withColumnRenamed("out_degree", "degree")
+        return (
+            self.in_degree()
+            .join(self.out_degree(), "vertex")
+            .select("vertex", (F.col("in_degree") + F.col("out_degree")).alias("degree"))
+        )
+
+    def out_weight_sums(self) -> DataFrame:
+        """Σ outgoing weight per vertex — PageRank denominator
+        (cugraph ``graph_weight_utils_impl.cuh:105-151``). Unweighted
+        graphs behave as weight 1.0 so this equals out-degree
+        (``pagerank_impl.cuh:196-205``)."""
+        return (
+            self.vertices()
+            .join(
+                self.edges.groupBy(F.col(SRC).alias("vertex")).agg(F.sum(WGT).alias("ows")),
+                "vertex",
+                "left",
+            )
+            .select("vertex", F.coalesce("ows", F.lit(0.0)).alias("ows"))
+        )
+
+    # ---- neighborhood ops ----
+
+    def two_hop_neighbors(self) -> DataFrame:
+        """Distinct vertex pairs exactly reachable in 2 hops
+        (simpleGraph.py:726-770): edges self-join on e1.dst == e2.src."""
+        e1 = self.edges.select(F.col(SRC).alias("first"), F.col(DST).alias("mid"))
+        e2 = self.edges.select(F.col(SRC).alias("mid"), F.col(DST).alias("second"))
+        return (
+            e1.join(e2, "mid")
+            .filter(F.col("first") != F.col("second"))
+            .select("first", "second")
+            .distinct()
+        )
+
+    def induced_subgraph(self, vertex_df: DataFrame, vcol: str = "vertex") -> "Graph":
+        """Edges with both endpoints in the vertex set
+        (cugraph ``induced_subgraph_impl.cuh``): two semi-joins."""
+        vs = vertex_df.select(F.col(vcol).alias("vertex"))
+        e = (
+            self.edges.join(vs.withColumnRenamed("vertex", SRC), SRC, "left_semi")
+            .join(vs.withColumnRenamed("vertex", DST), DST, "left_semi")
+        )
+        g = Graph.__new__(Graph)
+        g.edges = e.select(SRC, DST, WGT)
+        g.directed = self.directed
+        g.weighted = self.weighted
+        g.mapping = self.mapping
+        return g
+
+    def reverse(self) -> "Graph":
+        """Transpose (cugraph ``transpose_graph_impl.cuh``) — a projection."""
+        g = Graph.__new__(Graph)
+        g.edges = self.edges.select(
+            F.col(DST).alias(SRC), F.col(SRC).alias(DST), F.col(WGT)
+        )
+        g.directed = self.directed
+        g.weighted = self.weighted
+        g.mapping = self.mapping
+        return g

@@ -1,0 +1,252 @@
+"""PageRank — pull-model power iteration with exact reference semantics.
+
+Recreates ``cugraph.pagerank`` (python API ``link_analysis/pagerank.py:83-94``,
+numeric semantics ``cpp/src/link_analysis/pagerank_impl.cuh`` and the golden
+host reference ``cpp/tests/link_analysis/pagerank_test.cpp:44-132``):
+
+1. init ranks = 1/V (or user ``nstart`` normalized by its sum);
+2. out-weight sums per vertex (unweighted → out-degree);
+3. per iteration:
+   - dangling_sum = Σ ranks of vertices with out_weight_sum == 0;
+   - divide rank by out_weight_sum (dangling divisor → 1.0);
+   - pull SpMV: new_rank(v) = unvarying + α·Σ_{u→v} rank'(u)·w(u,v),
+     unvarying = (dangling_sum·α + (1−α))/V without personalization else 0;
+   - personalization adds (dangling_sum·α + (1−α))·value(v)/Σvalues;
+   - stop when L1 = Σ|new−old| < tol, else until max_iter →
+     FailedToConvergeError (pagerank_impl.cuh:321-334,411).
+
+Two physical strategies, same semantics (validated equal in tests):
+
+- ``mode="dataframe"``: pure Catalyst plan. Edges are hash-partitioned
+  on ``src`` ONCE and persisted; each superstep joins the O(V) rank
+  vector against them (only the small side re-shuffles — exchange reuse
+  keeps the O(E) side in place), then ``groupBy(dst).sum`` with
+  map-side partial aggregation (Spark's analog of the reference's
+  ``reduce_op::plus`` shuffle combine).
+- ``mode="csr"``: the north-star architecture — edges hash-partitioned
+  into per-partition blocks, each superstep runs an Arrow-vectorized
+  cogrouped ``applyInPandas`` gather-scatter (numpy SpMV over the
+  partition's edge block, partial sums combined in-UDF) followed by a
+  shuffle-based ``(dst, partial)`` message exchange. This is the Spark
+  analog of cuGraph's per-edge-partition
+  ``per_v_transform_reduce_incoming_e`` + NCCL combine.
+
+Scale notes: one Spark action per superstep (the combined
+L1-diff + next-dangling agg is the ``host_scalar_allreduce`` analog,
+pagerank_impl.cuh:321-330); state checkpoints to parquet/Iceberg every
+``checkpoint_every`` supersteps for exact resume + lineage truncation.
+Hub skew on ``dst`` is handled by map-side partial aggregation plus AQE
+skew handling; for pathological hubs see ``plans/skew.py``.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark import StorageLevel
+
+from ..graph import DST, SRC, WGT, Graph
+from ..plans.checkpoint import CheckpointManager
+
+
+class FailedToConvergeError(RuntimeError):
+    """Raised when max_iter supersteps pass without L1 < tol
+    (mirrors cugraph's error at pagerank.py:290-293)."""
+
+
+_EMPTY_PARTIAL = pd.DataFrame(
+    {"dst": pd.Series([], dtype="int64"), "contrib": pd.Series([], dtype="float64")}
+)
+
+
+def _spmv(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+    """Per-partition gather-scatter: join ranks onto the edge block,
+    multiply, partial-combine by dst (numpy/pandas, Arrow in/out)."""
+    if len(left) == 0 or len(right) == 0:
+        return _EMPTY_PARTIAL
+    merged = left.merge(right, left_on="src", right_on="vertex", how="inner")
+    if len(merged) == 0:
+        return _EMPTY_PARTIAL
+    merged["contrib"] = merged["rank_div"].to_numpy() * merged["weight"].to_numpy()
+    out = merged.groupby("dst", as_index=False)["contrib"].sum()
+    return out[["dst", "contrib"]]
+
+
+def pagerank(
+    G: Graph,
+    alpha: float = 0.85,
+    max_iter: int = 100,
+    tol: float = 1.0e-5,
+    personalization: DataFrame | None = None,
+    nstart: DataFrame | None = None,
+    precomputed_vertex_out_weight: DataFrame | None = None,
+    fail_on_nonconvergence: bool = True,
+    mode: str = "dataframe",
+    num_partitions: int | None = None,
+    checkpoint: CheckpointManager | None = None,
+    checkpoint_every: int = 10,
+    resume: bool = False,
+):
+    """Returns DataFrame [vertex, pagerank]; with
+    ``fail_on_nonconvergence=False`` returns (df, converged) like the
+    reference (pagerank.py:202-206).
+
+    ``personalization`` / ``nstart``: DataFrames [vertex, values].
+    ``tol=0.0`` runs exactly ``max_iter`` supersteps (never converges
+    early) — used for fixed-iteration oracle parity.
+    """
+    spark = G.edges.sparkSession
+    sc = spark.sparkContext
+    P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    # --- invariant side: edges + out-weight sums, partitioned once ---
+    if mode == "csr":
+        edges = (
+            G.edges.withColumn("pid", F.pmod(F.hash(F.col(SRC)), F.lit(P)))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+    else:
+        edges = G.edges.repartition(P, SRC).persist(StorageLevel.MEMORY_AND_DISK)
+
+    if precomputed_vertex_out_weight is not None:
+        ows = precomputed_vertex_out_weight.select("vertex", F.col("ows").cast("double"))
+        vstate = G.vertices().join(ows, "vertex", "left").select(
+            "vertex", F.coalesce("ows", F.lit(0.0)).alias("ows"))
+    else:
+        vstate = (
+            G.vertices()
+            .join(
+                edges.groupBy(F.col(SRC).alias("vertex")).agg(F.sum(WGT).alias("ows")),
+                "vertex", "left")
+            .select("vertex", F.coalesce("ows", F.lit(0.0)).alias("ows"))
+        )
+    vstate = vstate.repartition(P, "vertex").persist(StorageLevel.MEMORY_AND_DISK)
+    V = vstate.count()
+    if V == 0:
+        raise ValueError("empty graph")
+
+    # --- personalization normalization (pagerank_impl.cuh:299-319) ---
+    psum = None
+    pers = None
+    if personalization is not None:
+        pers = personalization.select(
+            "vertex", F.col("values").cast("double").alias("pval"))
+        psum = pers.agg(F.sum("pval")).first()[0]
+        if not psum or psum <= 0:
+            raise ValueError("personalization values must sum to > 0")
+        pers = F.broadcast(pers.withColumn("pnorm", F.col("pval") / F.lit(psum))
+                           .select("vertex", "pnorm"))
+
+    # --- init ranks (pagerank_impl.cuh:363-386) ---
+    start_iter = 0
+    if resume and checkpoint is not None and checkpoint.latest_iteration() is not None:
+        it0 = checkpoint.latest_iteration()
+        saved, meta = checkpoint.load(spark, it0)
+        state = saved.repartition(P, "vertex").localCheckpoint(eager=False)
+        start_iter = meta["iteration"] + 1
+        dangling = float(meta["metrics"]["dangling_sum"])
+    elif nstart is not None:
+        ns = nstart.select("vertex", F.col("values").cast("double").alias("nsval"))
+        nsum = ns.agg(F.sum("nsval")).first()[0]
+        if not nsum or nsum <= 0:
+            raise ValueError("nstart values must sum to > 0")
+        state = (
+            vstate.join(ns, "vertex", "left")
+            .select("vertex", "ows",
+                    (F.coalesce("nsval", F.lit(0.0)) / F.lit(nsum)).alias("rank"))
+            .localCheckpoint(eager=False)
+        )
+        dangling = state.filter(F.col("ows") == 0.0).agg(F.sum("rank")).first()[0] or 0.0
+    else:
+        state = vstate.withColumn("rank", F.lit(1.0 / V)).localCheckpoint(eager=False)
+        dangling = state.filter(F.col("ows") == 0.0).agg(F.sum("rank")).first()[0] or 0.0
+
+    converged = False
+    final_iter = start_iter
+    for it in range(start_iter, max_iter):
+        final_iter = it
+        # rank' = rank / ows (dangling divisor 1.0) — impl.cuh:250-262
+        rank_div = state.select(
+            "vertex",
+            (F.col("rank") / F.when(F.col("ows") == 0.0, F.lit(1.0)).otherwise(F.col("ows"))
+             ).alias("rank_div"),
+        )
+
+        if mode == "csr":
+            ranks_parted = rank_div.withColumn(
+                "pid", F.pmod(F.hash(F.col("vertex")), F.lit(P)))
+            partials = (
+                edges.groupBy("pid")
+                .cogroup(ranks_parted.groupBy("pid"))
+                .applyInPandas(_spmv, schema="dst long, contrib double")
+            )
+            contribs = partials.groupBy(DST).agg(F.sum("contrib").alias("contrib"))
+        else:
+            contribs = (
+                edges.join(rank_div, edges[SRC] == rank_div["vertex"])
+                .groupBy(DST)
+                .agg(F.sum(rank_div["rank_div"] * edges[WGT]).alias("contrib"))
+            )
+
+        if pers is None:
+            unvarying = (dangling * alpha + (1.0 - alpha)) / V
+            new_state = (
+                vstate.join(contribs, vstate["vertex"] == contribs[DST], "left")
+                .select(
+                    vstate["vertex"], "ows",
+                    (F.lit(alpha) * F.coalesce("contrib", F.lit(0.0)) + F.lit(unvarying)
+                     ).alias("rank"))
+            )
+        else:
+            pmass = dangling * alpha + (1.0 - alpha)
+            new_state = (
+                vstate.join(contribs, vstate["vertex"] == contribs[DST], "left")
+                .join(pers, "vertex", "left")
+                .select(
+                    vstate["vertex"], "ows",
+                    (F.lit(alpha) * F.coalesce("contrib", F.lit(0.0))
+                     + F.lit(pmass) * F.coalesce("pnorm", F.lit(0.0))).alias("rank"))
+            )
+        # localCheckpoint truncates lineage so superstep N's plan does not
+        # re-analyze supersteps 0..N-1 (SURVEY.md §7.3.1) — the lazy variant
+        # materializes inside the convergence action below (one job/superstep).
+        new_state = new_state.repartition(P, "vertex").localCheckpoint(eager=False)
+
+        # one action per superstep: L1 diff + next dangling sum together
+        # (the host_scalar_allreduce analog, pagerank_impl.cuh:239-248,321-330)
+        row = (
+            new_state.join(state.select("vertex", F.col("rank").alias("old_rank")), "vertex")
+            .agg(
+                F.sum(F.abs(F.col("rank") - F.col("old_rank"))).alias("l1"),
+                F.sum(F.when(F.col("ows") == 0.0, F.col("rank")).otherwise(F.lit(0.0))
+                      ).alias("dang"),
+            )
+            .first()
+        )
+        l1, dangling = float(row["l1"]), float(row["dang"] or 0.0)
+        state = new_state
+
+        if checkpoint is not None and checkpoint_every and (it + 1) % checkpoint_every == 0:
+            state = checkpoint.save(
+                state.select("vertex", "ows", "rank"), it,
+                {"l1": l1, "dangling_sum": dangling, "alpha": alpha, "tol": tol})
+
+        if l1 < tol:
+            converged = True
+            break
+
+    if checkpoint is not None and not (checkpoint_every and (final_iter + 1) % checkpoint_every == 0):
+        checkpoint.save(state.select("vertex", "ows", "rank"), final_iter,
+                        {"l1": -1.0, "dangling_sum": dangling, "alpha": alpha,
+                         "tol": tol, "final": True})
+
+    result = state.select("vertex", F.col("rank").alias("pagerank"))
+    edges.unpersist()
+    vstate.unpersist()
+    if not converged and fail_on_nonconvergence and tol > 0.0:
+        raise FailedToConvergeError(
+            f"PageRank did not converge to tol={tol} within {max_iter} iterations")
+    if fail_on_nonconvergence:
+        return result
+    return result, converged

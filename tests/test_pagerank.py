@@ -1,0 +1,123 @@
+"""PageRank vs the in-repo numpy reference oracle (transliterated from
+cpp/tests/link_analysis/pagerank_test.cpp:44-132). Baseline params per
+BASELINE.json: alpha=0.85, tol=1e-6, max_iter=500."""
+
+import numpy as np
+import pytest
+
+from cugraph_spark import FailedToConvergeError, Graph, pagerank
+
+from .conftest import edges_df, make_edges, sym_tuples
+from .oracles import pagerank_ref
+
+ALPHA, TOL, MAX_ITER = 0.85, 1e-6, 500
+
+
+def _run(spark, edges, n=None, directed=True, mode="dataframe", **kw):
+    G = Graph(edges_df(spark, edges), directed=directed)
+    df = pagerank(G, alpha=ALPHA, tol=TOL, max_iter=MAX_ITER, mode=mode, **kw)
+    return {r.vertex: r.pagerank for r in df.collect()}
+
+
+def _check(got, expect_arr, atol=1e-6):
+    for v, val in got.items():
+        assert val == pytest.approx(expect_arr[v], abs=atol), f"vertex {v}"
+
+
+@pytest.mark.parametrize("mode", ["dataframe", "csr"])
+def test_pagerank_directed_with_dangling(spark, mode):
+    edges = make_edges("directed_asym")
+    got = _run(spark, edges, mode=mode)
+    expect, conv, _ = pagerank_ref(edges, alpha=ALPHA, tol=TOL, max_iter=MAX_ITER)
+    assert conv
+    _check(got, expect)
+
+
+@pytest.mark.parametrize("mode", ["dataframe", "csr"])
+def test_pagerank_undirected_weighted(spark, mode):
+    edges = make_edges("weighted")
+    got = _run(spark, edges, directed=False, mode=mode)
+    expect, conv, _ = pagerank_ref(sym_tuples(edges), alpha=ALPHA, tol=TOL, max_iter=MAX_ITER)
+    assert conv
+    _check(got, expect)
+
+
+def test_pagerank_hub_skew(spark):
+    edges = make_edges("hub")
+    got = _run(spark, edges)
+    expect, conv, _ = pagerank_ref(edges, alpha=ALPHA, tol=TOL, max_iter=MAX_ITER)
+    assert conv
+    _check(got, expect)
+    # the hub holds most of the mass
+    assert got[0] == max(got.values())
+
+
+def test_pagerank_personalization(spark):
+    edges = make_edges("directed_asym")
+    n = max(max(a for a, _, _ in edges), max(b for _, b, _ in edges)) + 1
+    pvec = np.zeros(n)
+    pvec[1] = 1.0
+    pvec[4] = 3.0
+    pers_rows = [(1, 1.0), (4, 3.0)]
+    G = Graph(edges_df(spark, edges), directed=True)
+    pers = spark.createDataFrame(pers_rows, "vertex long, values double")
+    df = pagerank(G, alpha=ALPHA, tol=TOL, max_iter=MAX_ITER, personalization=pers)
+    got = {r.vertex: r.pagerank for r in df.collect()}
+    expect, conv, _ = pagerank_ref(edges, n=n, alpha=ALPHA, tol=TOL,
+                                   max_iter=MAX_ITER, personalization=pvec)
+    assert conv
+    _check(got, expect)
+
+
+def test_pagerank_nstart(spark):
+    edges = make_edges("tiny_social")
+    n = 34
+    ns = np.arange(1, n + 1, dtype=float)
+    G = Graph(edges_df(spark, edges), directed=True)
+    nstart = spark.createDataFrame(
+        [(int(v), float(ns[v])) for v in range(n)], "vertex long, values double")
+    df = pagerank(G, alpha=ALPHA, tol=TOL, max_iter=MAX_ITER, nstart=nstart)
+    got = {r.vertex: r.pagerank for r in df.collect()}
+    expect, conv, _ = pagerank_ref(edges, n=n, alpha=ALPHA, tol=TOL,
+                                   max_iter=MAX_ITER, nstart=ns)
+    assert conv
+    _check(got, expect)
+
+
+def test_pagerank_precomputed_out_weights(spark):
+    edges = make_edges("weighted")
+    G = Graph(edges_df(spark, edges), directed=True)
+    ows = G.out_weight_sums()
+    df = pagerank(G, alpha=ALPHA, tol=TOL, max_iter=MAX_ITER,
+                  precomputed_vertex_out_weight=ows)
+    got = {r.vertex: r.pagerank for r in df.collect()}
+    expect, _, _ = pagerank_ref(edges, alpha=ALPHA, tol=TOL, max_iter=MAX_ITER)
+    _check(got, expect)
+
+
+def test_pagerank_nonconvergence_raises(spark):
+    edges = make_edges("tiny_social")
+    G = Graph(edges_df(spark, edges), directed=True)
+    with pytest.raises(FailedToConvergeError):
+        pagerank(G, alpha=ALPHA, tol=1e-12, max_iter=2)
+    df, conv = pagerank(G, alpha=ALPHA, tol=1e-12, max_iter=2,
+                        fail_on_nonconvergence=False)
+    assert conv is False
+    assert df.count() == 34
+
+
+def test_pagerank_fixed_iterations_matches_oracle(spark):
+    """tol=0 → exactly max_iter supersteps (oracle-parity mode)."""
+    edges = make_edges("directed_asym")
+    G = Graph(edges_df(spark, edges), directed=True)
+    df, conv = pagerank(G, alpha=ALPHA, tol=0.0, max_iter=7,
+                        fail_on_nonconvergence=False)
+    got = {r.vertex: r.pagerank for r in df.collect()}
+    expect, _, _ = pagerank_ref(edges, alpha=ALPHA, tol=0.0, max_iter=7)
+    _check(got, expect, atol=1e-12)
+
+
+def test_pagerank_sums_to_one(spark):
+    edges = make_edges("disjoint")
+    got = _run(spark, edges, directed=False)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
