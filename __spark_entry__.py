@@ -1,38 +1,43 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: derive the customer→supplier purchase
+graph from the sf0.001 tables and run converged PageRank (α=0.85,
+tol=1e-6) — the engine's north-star algorithm end-to-end.
+
+``queries()`` / ``oracle_sql()`` — the full operator catalog from
+SURVEY.md §2 plus the training-data pipeline functions, instantiated
+over the driver's testdata tables; implementations live in
+``cugraph_spark/queries.py``.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from cugraph_spark import queries as q  # noqa: E402
+from cugraph_spark.graph import Graph  # noqa: E402
+from cugraph_spark.operators.pagerank import pagerank  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: purchase-graph
+    PageRank to convergence, top-ranked vertices first."""
+    edges = q.edges_cs(spark, "/root/testdata/sf0.001")
+    G = Graph(edges, directed=True, weighted=True)
+    pr = pagerank(G, alpha=0.85, tol=1e-6, max_iter=200)
+    return pr.orderBy(F.desc("pagerank"), F.asc("vertex"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return q.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return q.oracle_sql()

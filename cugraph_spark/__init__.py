@@ -17,5 +17,17 @@ from .graph import (  # noqa: F401
     drop_multi_edges,
 )
 from .operators.pagerank import FailedToConvergeError, pagerank  # noqa: F401
+from .operators.wcc import weakly_connected_components  # noqa: F401
+from .operators.label_propagation import label_propagation  # noqa: F401
+from .operators.triangle_count import edge_triangle_count, triangle_count  # noqa: F401
+from .operators.centrality import (  # noqa: F401
+    degree_centrality,
+    eigenvector_centrality,
+    hits,
+    katz_centrality,
+)
+from .operators.traversal import bfs, k_hop_neighbors, sssp  # noqa: F401
+from .operators.cores import core_number, k_core  # noqa: F401
+from .operators.similarity import jaccard, overlap, sorensen  # noqa: F401
 
 __version__ = "0.1.0"

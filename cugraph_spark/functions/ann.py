@@ -1,0 +1,253 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Brute-force cosine top-k as the exact baseline; LSH (random hyperplane)
+bucketing and an IVF (inverted-file, coarse-quantizer) variant as the
+scale paths. Dot products run through ``zip_with`` + ``aggregate``
+higher-order SQL functions — JVM-side, no Python in the hot loop; the
+IVF/LSH variants bound the candidate set so the join never goes
+all-pairs at 100 TB.
+
+Scale notes: brute force is O(|Q|·|C|) — correct but only for oracles
+and small |Q|; IVF probes ``nprobe`` of ``n_centroids`` partitions
+(candidate fraction ≈ nprobe/n_centroids); hyperplane LSH joins on
+exact bucket key. Centroids/planes are deterministic functions of the
+corpus (seeded) so results are reproducible across cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Exact top-k by cosine: [query_id, vec_id, cosine, rank]. The
+    query side is broadcast (assumed small); self-matches (same id) are
+    excluded when query ids share the corpus id space."""
+    qid = query_id_col or id_col
+    q = queries.select(
+        F.col(qid).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (_dot(F.col("qv"), F.col("cv"))
+             / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int):
+    """Deterministic pseudo-random hyperplanes as literal arrays —
+    component p[i][j] = signed hash of (seed, i, j), unit-free (sign
+    test only needs direction)."""
+    import numpy as np
+
+    def sm64(x):
+        x = (x + 0x9E3779B97F4A7C15) & (2**64 - 1)
+        x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & (2**64 - 1)
+        x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & (2**64 - 1)
+        return x ^ (x >> 31)
+
+    planes = np.empty((n_planes, dim))
+    for i in range(n_planes):
+        for j in range(dim):
+            planes[i, j] = (sm64(seed + i * 100003 + j) / 2**64) * 2.0 - 1.0
+    return planes
+
+
+def lsh_bucket(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "lsh_bucket",
+    n_planes: int = 8,
+    dim: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Random-hyperplane (sign) LSH bucket id per vector: bit i = sign
+    of ⟨v, plane_i⟩. Planes are deterministic literals compiled into
+    the expression (broadcast-free, JVM-side)."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    v = F.col(vec_col).cast("array<double>")
+    bucket = F.lit(0).cast("long")
+    for i in range(n_planes):
+        plane = F.array(*[F.lit(float(x)) for x in planes[i]])
+        bit = (_dot(v, plane) > 0).cast("long")
+        bucket = bucket.bitwiseOR(F.shiftleft(bit, i))
+    return df.withColumn(out_col, bucket)
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH
+    bucket (collision probability rises with cosine similarity).
+    Same output schema as brute force; recall < 1 by construction."""
+    dim = len(corpus.select(vec_col).first()[0])
+    cb = lsh_bucket(corpus, vec_col, "b", n_planes, dim, seed).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("cv"), "b"
+    )
+    qb = lsh_bucket(queries, vec_col, "b", n_planes, dim, seed).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv"), "b"
+    )
+    scored = (
+        cb.join(F.broadcast(qb), "b")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id",
+            (_dot(F.col("qv"), F.col("cv"))
+             / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_assign(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    stride_seed: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantization: centroids = a deterministic strided
+    sample of the corpus itself (rank-based, seeded); every vector is
+    assigned to its max-cosine centroid via a broadcast join. Returns
+    (assigned_df with 'ivf_cell', centroids_df)."""
+    w = Window.orderBy(F.col(id_col))
+    ranked = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    ).withColumn("rn", F.row_number().over(w))
+    total = ranked.count()
+    stride = max(total // n_centroids, 1)
+    cents = (
+        ranked.filter(((F.col("rn") + stride_seed) % stride) == 0)
+        .limit(n_centroids)
+        .select(
+            F.row_number().over(Window.orderBy("rn")).alias("ivf_cell"),
+            F.col("v").alias("cent"),
+        )
+    )
+    scored = (
+        ranked.crossJoin(F.broadcast(cents))
+        .select(
+            id_col, "v", "ivf_cell",
+            (_dot(F.col("v"), F.col("cent")) / (_norm(F.col("v")) * _norm(F.col("cent")))).alias("cs"),
+        )
+    )
+    best = scored.groupBy(id_col).agg(
+        F.max(F.struct(F.col("cs"), (-F.col("ivf_cell")).alias("nc"))).alias("m")
+    ).select(F.col(id_col), (-F.col("m.nc")).alias("ivf_cell"))
+    assigned = df.join(best, id_col)
+    return assigned, cents
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF search: score queries against centroids, probe the nprobe
+    best cells, exact cosine within the probed cells only."""
+    assigned, cents = ivf_assign(corpus, id_col, vec_col, n_centroids)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    qc = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id", "qv", "ivf_cell",
+            (_dot(F.col("qv"), F.col("cent")) / (_norm(F.col("qv")) * _norm(F.col("cent")))).alias("cs"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("ivf_cell"))
+    probes = qc.withColumn("pr", F.row_number().over(wq)).filter(F.col("pr") <= nprobe).select(
+        "query_id", "qv", "ivf_cell"
+    )
+    c = assigned.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("cv"), "ivf_cell"
+    )
+    scored = (
+        c.join(F.broadcast(probes), "ivf_cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id",
+            (_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs by cosine ≥ threshold, LSH-blocked: pairs must
+    collide in the sign-LSH bucket (high-cosine pairs almost always
+    do), then exact cosine verifies. Returns [a, b, cosine]."""
+    dim = len(df.select(vec_col).first()[0])
+    b = lsh_bucket(df, vec_col, "b", n_planes, dim, seed).select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"), "b"
+    )
+    l = b.select(F.col("b"), F.col("id").alias("a"), F.col("v").alias("va"))
+    r = b.select(F.col("b"), F.col("id").alias("bid"), F.col("v").alias("vb"))
+    return (
+        l.join(r, "b")
+        .filter(F.col("a") < F.col("bid"))
+        .select(
+            "a", F.col("bid").alias("b"),
+            (_dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

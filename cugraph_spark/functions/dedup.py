@@ -1,0 +1,232 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact (hash-groupBy), MinHash+LSH (shingle → minhash → band →
+bucket-join), SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+All heavy lifting stays JVM-side: shingling via higher-order SQL
+functions (``text.shingles``), minhash via ``xxhash64(shingle, seed)``
+min-aggregates (map-side combinable), simhash via 64 conditional-sum
+aggregates, cosine via ``zip_with``/``aggregate``. No Python UDFs.
+
+Scale notes: the LSH band join is the standard sub-quadratic path —
+candidate pairs only for banded-signature collisions; the verify step
+(exact Jaccard over shingle arrays) touches candidates only. Band
+buckets on popular signatures can skew; the bucket join key includes
+the band index so AQE skew splitting applies per band.
+"""
+
+from __future__ import annotations
+
+import functools
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import shingles
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Groups of byte-identical documents: [dup_group (sha256), ids,
+    n_dups], only groups with ≥ 2 members."""
+    return (
+        df.groupBy(F.sha2(F.col(text_col), 256).alias("dup_group"))
+        .agg(
+            F.sort_array(F.collect_list(id_col)).alias("ids"),
+            F.count("*").alias("n_dups"),
+        )
+        .filter(F.col("n_dups") >= 2)
+    )
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the min-id representative of each identical-content group —
+    one shuffle on the content hash (hub-safe: hash keys are uniform)."""
+    w = (
+        df.groupBy(F.sha2(F.col(text_col), 256).alias("k"))
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(w.select(id_col), id_col, "left_semi")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """[id, sig: array<long>] — minhash over word n-gram shingles;
+    hash family = xxhash64(shingle, seed=i). Documents with no
+    shingles are dropped (nothing to compare)."""
+    sh = shingles(df.select(id_col, text_col), text_col, n=n)
+    exploded = sh.select(id_col, F.explode("shingles").alias("g"))
+    aggs = [
+        F.min(F.xxhash64(F.col("g"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = exploded.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        id_col, F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Candidate pairs [a, b] (a < b) sharing ≥ 1 LSH band bucket.
+    Bucket key = (band index, hash of the band's signature slice)."""
+    banded = sigs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(",", F.slice("sig", i * rows_per_band + 1, rows_per_band)),
+                        F.lit(i),
+                    ).alias("bucket"),
+                )
+                for i in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.bucket")
+    l = banded.select(F.col("band"), F.col("bucket"), F.col("id").alias("a"))
+    r = banded.select(F.col("band"), F.col("bucket"), F.col("id").alias("b"))
+    return (
+        l.join(r, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs (or all
+    pairs sharing ≥ 1 shingle when ``pairs`` is None — the inverted-
+    index join). Returns [a, b, jaccard]."""
+    sh = shingles(df.select(id_col, text_col), text_col, n=n).select(
+        F.col(id_col).alias("id"), F.col("shingles")
+    )
+    sizes = sh.select("id", F.size("shingles").alias("sz"))
+    ex = sh.select("id", F.explode("shingles").alias("g"))
+    inter = (
+        ex.select(F.col("id").alias("a"), "g")
+        .join(ex.select(F.col("id").alias("b"), "g"), "g")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("isect"))
+    )
+    if pairs is not None:
+        want = pairs.select(
+            F.least(pairs.columns[0], pairs.columns[1]).alias("a"),
+            F.greatest(pairs.columns[0], pairs.columns[1]).alias("b"),
+        ).distinct()
+        inter = inter.join(want, ["a", "b"], "left_semi")
+    out = (
+        inter.join(sizes.select(F.col("id").alias("a"), F.col("sz").alias("sz_a")), "a")
+        .join(sizes.select(F.col("id").alias("b"), F.col("sz").alias("sz_b")), "b")
+        .select(
+            "a", "b",
+            (F.col("isect") / (F.col("sz_a") + F.col("sz_b") - F.col("isect"))).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold)
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures → band candidates
+    → exact-Jaccard verify ≥ threshold. Returns [a, b, jaccard]."""
+    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    cands = minhash_lsh_candidates(sigs, id_col, bands, num_hashes // bands)
+    return ngram_jaccard_pairs(df, cands, text_col, id_col, n, threshold)
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """[id, simhash: long] — Charikar simhash over word tokens: for
+    each bit, Σ(±1) over token hashes; bit set iff the sum > 0.
+    One explode + one groupBy with ``bits`` conditional-sum aggregates
+    (all map-side combinable, JVM-only)."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"[^\w\s]", "")), r"\s+")
+        ).alias("t"),
+    ).filter(F.length("t") > 0)
+    h = F.xxhash64("t")
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    sums = toks.groupBy(id_col).agg(*aggs)
+    sim = functools.reduce(
+        lambda acc, b: acc.bitwiseOR(
+            F.when(F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
+        ),
+        range(bits),
+        F.lit(0).cast("long"),
+    )
+    return sums.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by simhash Hamming distance ≤ max_hamming.
+    Blocking: split the 64-bit hash into (max_hamming+1) chunks — any
+    pair within distance must agree on ≥ 1 chunk exactly (pigeonhole),
+    so the join is on (chunk index, chunk value), never all-pairs.
+    Returns [a, b, hamming]."""
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    sims = simhash(df, text_col, id_col)
+    mask = (1 << width) - 1
+    blocked = sims.select(
+        F.col(id_col).alias("id"),
+        F.col("simhash"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("chunk"),
+                    F.shiftrightunsigned("simhash", c * width).bitwiseAND(F.lit(mask)).alias("val"),
+                )
+                for c in range(chunks)
+            ])
+        ).alias("blk"),
+    ).select("id", "simhash", "blk.chunk", "blk.val")
+    l = blocked.select("chunk", "val", F.col("id").alias("a"), F.col("simhash").alias("sa"))
+    r = blocked.select("chunk", "val", F.col("id").alias("b"), F.col("simhash").alias("sb"))
+    pairs = (
+        l.join(r, ["chunk", "val"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).alias("hamming"))
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,114 @@
+"""Label propagation community detection (synchronous, deterministic).
+
+cuGraph 24.08 ships no standalone LPA (SURVEY.md §2.2.3 gap note — the
+community surface is Louvain/Leiden/ECG); this implements the published
+algorithm (Raghavan, Albert, Kumara 2007) in its synchronous variant
+with deterministic tie-breaking so results are exactly reproducible:
+
+- init: ``label(v) = v``;
+- superstep: ``label(v) ← argmax_label Σ incident weight`` over v's
+  neighbors, ties broken by the smallest label id;
+- stop when no label changes or ``max_iter``.
+
+It reuses the PageRank gather-scatter skeleton: messages =
+``(dst, label(src), weight)``; reduce = ``groupBy(dst, label).sum(w)``
+then a single ``max(struct(weight, -label))`` aggregate — both stages
+map-side combinable, no window sort, hub-skew-safe (a hot dst key
+partial-aggregates before the shuffle; AQE splits residual skew).
+
+Scale notes: O(E) edges partitioned on ``src`` once + persisted; each
+superstep shuffles O(E) messages pre-combined map-side to
+O(distinct (dst,label)); one changed-count action per superstep.
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..graph import DST, SRC, WGT, Graph
+from ..plans.checkpoint import CheckpointManager
+
+
+def label_propagation(
+    G: Graph,
+    max_iter: int = 20,
+    num_partitions: int | None = None,
+    checkpoint: CheckpointManager | None = None,
+    checkpoint_every: int = 5,
+    resume: bool = False,
+) -> DataFrame:
+    """Returns DataFrame ``[vertex, labels]``. Requires an undirected
+    (symmetrized) graph — incident weight means both directions."""
+    if G.directed:
+        raise ValueError(
+            "label_propagation requires an undirected (symmetrized) graph"
+        )
+    spark = G.edges.sparkSession
+    P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    edges = (
+        G.edges.select(SRC, DST, WGT)
+        .repartition(P, SRC)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    start_iter = 0
+    if resume and checkpoint is not None and checkpoint.latest_iteration() is not None:
+        it0 = checkpoint.latest_iteration()
+        saved, meta = checkpoint.load(spark, it0)
+        state = saved.repartition(P, "vertex").localCheckpoint(eager=False)
+        start_iter = meta["iteration"] + 1
+    else:
+        state = (
+            G.vertices()
+            .withColumn("labels", F.col("vertex"))
+            .repartition(P, "vertex")
+            .localCheckpoint(eager=False)
+        )
+
+    for it in range(start_iter, max_iter):
+        # (dst, label(src), w) → Σw per (dst,label) → argmax by (w, -label)
+        scores = (
+            edges.join(state, edges[SRC] == state["vertex"])
+            .groupBy(F.col(DST), F.col("labels").alias("cand"))
+            .agg(F.sum(WGT).alias("w"))
+        )
+        best = scores.groupBy(DST).agg(
+            F.max(F.struct(F.col("w"), (-F.col("cand")).alias("neg"))).alias("m")
+        ).select(F.col(DST), (-F.col("m.neg")).alias("new_label"))
+
+        new_state = (
+            state.join(best, state["vertex"] == best[DST], "left")
+            .select(
+                state["vertex"],
+                F.coalesce("new_label", state["labels"]).alias("labels"),
+            )
+            .repartition(P, "vertex")
+            .localCheckpoint(eager=False)
+        )
+
+        changed = (
+            new_state.join(
+                state.select("vertex", F.col("labels").alias("old")), "vertex"
+            )
+            .agg(
+                F.sum(
+                    F.when(F.col("labels") != F.col("old"), 1).otherwise(0)
+                ).alias("c")
+            )
+            .first()["c"]
+        )
+        state = new_state
+
+        if checkpoint is not None and checkpoint_every and (it + 1) % checkpoint_every == 0:
+            state = checkpoint.save(
+                state.select("vertex", "labels"), it, {"changed": int(changed)}
+            )
+
+        if changed == 0:
+            break
+
+    edges.unpersist()
+    return state.select("vertex", "labels")

@@ -1,0 +1,97 @@
+"""Link prediction similarity — Jaccard / Overlap / Sørensen.
+
+Reference: ``link_prediction/similarity_impl.cuh`` (631 LoC); python
+wrappers ``link_prediction/{jaccard,overlap,sorensen}.py``. Semantics
+(unweighted variant; similarity_impl.cuh computes |N(a)∩N(b)| per pair
+then the coefficient):
+
+- jaccard(a,b)  = |∩| / |N(a) ∪ N(b)| = |∩| / (d(a)+d(b)−|∩|)
+- overlap(a,b)  = |∩| / min(d(a), d(b))
+- sorensen(a,b) = 2·|∩| / (d(a)+d(b))
+
+Pairs default to all 2-hop-connected vertex pairs (the reference's
+default vertex_pair = two-hop pairs, jaccard.py docs); callers can pass
+an explicit pair DataFrame.
+
+Spark shape: |∩| for every 2-hop pair falls out of ONE self-join on the
+shared neighbor + groupBy(a,b).count — no per-pair set materialization.
+Degrees join in afterwards. The common-neighbor join's fan-out is
+Σ_w d(w)², the same hub-square term the reference bounds by chunking
+(similarity_impl.cuh processes vertex pairs in batches); at scale, salt
+or chunk the hot shared-neighbor vertices.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..graph import DST, SRC, Graph
+
+
+def _pair_intersections(G: Graph, pairs: DataFrame | None) -> DataFrame:
+    """[a, b, isect, d_a, d_b] for requested (or all 2-hop) pairs a<b."""
+    und = (
+        G.edges.select(SRC, DST)
+        .filter(F.col(SRC) != F.col(DST))
+        .distinct()
+    )
+    deg = und.groupBy(F.col(SRC).alias("v")).agg(F.count("*").alias("d"))
+    # common-neighbor join: (a,w) ⋈ (b,w) with a<b → per-pair count
+    e1 = und.select(F.col(SRC).alias("a"), F.col(DST).alias("w"))
+    e2 = und.select(F.col(SRC).alias("b"), F.col(DST).alias("w"))
+    isect = (
+        e1.join(e2, "w")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("isect"))
+    )
+    if pairs is not None:
+        want = pairs.select(
+            F.least(pairs.columns[0], pairs.columns[1]).alias("a"),
+            F.greatest(pairs.columns[0], pairs.columns[1]).alias("b"),
+        ).distinct()
+        isect = want.join(isect, ["a", "b"], "left").select(
+            "a", "b", F.coalesce("isect", F.lit(0)).alias("isect")
+        )
+    return (
+        isect.join(deg.select(F.col("v").alias("a"), F.col("d").alias("d_a")), "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("d").alias("d_b")), "b")
+    )
+
+
+def jaccard(G: Graph, pairs: DataFrame | None = None) -> DataFrame:
+    """[first, second, jaccard_coeff] (reference column names,
+    link_prediction/jaccard.py)."""
+    if G.directed:
+        raise ValueError("jaccard requires an undirected graph")
+    pi = _pair_intersections(G, pairs)
+    return pi.select(
+        F.col("a").alias("first"),
+        F.col("b").alias("second"),
+        (F.col("isect") / (F.col("d_a") + F.col("d_b") - F.col("isect"))).alias("jaccard_coeff"),
+    )
+
+
+def overlap(G: Graph, pairs: DataFrame | None = None) -> DataFrame:
+    """[first, second, overlap_coeff]."""
+    if G.directed:
+        raise ValueError("overlap requires an undirected graph")
+    pi = _pair_intersections(G, pairs)
+    return pi.select(
+        F.col("a").alias("first"),
+        F.col("b").alias("second"),
+        (F.col("isect") / F.least("d_a", "d_b")).alias("overlap_coeff"),
+    )
+
+
+def sorensen(G: Graph, pairs: DataFrame | None = None) -> DataFrame:
+    """[first, second, sorensen_coeff]."""
+    if G.directed:
+        raise ValueError("sorensen requires an undirected graph")
+    pi = _pair_intersections(G, pairs)
+    return pi.select(
+        F.col("a").alias("first"),
+        F.col("b").alias("second"),
+        (F.lit(2.0) * F.col("isect") / (F.col("d_a") + F.col("d_b"))).alias("sorensen_coeff"),
+    )

@@ -1,0 +1,158 @@
+"""Traversal — BFS, SSSP, k-hop neighbors.
+
+- BFS (``traversal/bfs_impl.cuh``, 325 LoC; python ``traversal/bfs.py``):
+  frontier expansion as iterated semi-join; returns
+  [vertex, distance, predecessor]. The reference's
+  direction-optimizing switch (:202) is a latency optimization we skip
+  (SURVEY.md §4). Predecessor choice is implementation-defined in the
+  reference; we standardize on the minimum-id predecessor
+  (deterministic, testable).
+- SSSP (``traversal/sssp_impl.cuh``, 303 LoC): Bellman-Ford relax loop;
+  the reference's near-far bucketing is a GPU scheduling detail —
+  relax-until-fixed has identical semantics. Unreachable → distance
+  +inf in the reference python wrapper becomes a large sentinel; we use
+  NULL-free -1.0/NaN-free convention: unreachable distance = NULL.
+- k_hop_neighbors (``cpp/src/traversal/k_hop_nbrs*``): repeated
+  frontier semi-join expansion, distinct vertices within ≤k hops.
+
+Scale notes: the frontier is usually ≪ V, so each superstep joins a
+small frontier against the partitioned edge list (broadcast when tiny —
+AQE converts automatically); messages pre-combine map-side via
+groupBy(dst).min.
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..graph import DST, SRC, WGT, Graph
+
+
+def bfs(
+    G: Graph,
+    source: int,
+    max_depth: int | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Returns [vertex, distance, predecessor]; unreachable vertices get
+    distance -1, predecessor -1 (reference python contract uses the
+    max-distance sentinel; -1 is our deterministic equivalent)."""
+    spark = G.edges.sparkSession
+    P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges = (
+        G.edges.select(SRC, DST).repartition(P, SRC).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    state = (
+        G.vertices()
+        .select(
+            "vertex",
+            F.when(F.col("vertex") == source, F.lit(0)).otherwise(F.lit(-1)).cast("long").alias("distance"),
+            F.lit(-1).cast("long").alias("predecessor"),
+        )
+        .repartition(P, "vertex")
+        .localCheckpoint(eager=False)
+    )
+    frontier = state.filter(F.col("distance") == 0).select("vertex")
+    depth = 0
+    limit = max_depth if max_depth is not None else 2**31
+    while depth < limit:
+        depth += 1
+        cand = (
+            frontier.join(edges, frontier["vertex"] == edges[SRC])
+            .groupBy(DST)
+            .agg(F.min(SRC).alias("pred"))
+        )
+        nxt = (
+            cand.join(state, cand[DST] == state["vertex"])
+            .filter(F.col("distance") == -1)
+            .select(F.col(DST).alias("vertex"), F.col("pred"))
+            .localCheckpoint(eager=False)
+        )
+        n_new = nxt.count()
+        if n_new == 0:
+            break
+        state = (
+            state.join(nxt.withColumnRenamed("vertex", "nv"),
+                       state["vertex"] == F.col("nv"), "left")
+            .select(
+                state["vertex"],
+                F.when(F.col("nv").isNotNull(), F.lit(depth)).otherwise(F.col("distance")).alias("distance"),
+                F.when(F.col("nv").isNotNull(), F.col("pred")).otherwise(F.col("predecessor")).alias("predecessor"),
+            )
+            .repartition(P, "vertex")
+            .localCheckpoint(eager=False)
+        )
+        frontier = nxt.select("vertex")
+    edges.unpersist()
+    return state.select("vertex", "distance", "predecessor")
+
+
+def sssp(
+    G: Graph,
+    source: int,
+    max_iter: int = 10_000,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Bellman-Ford to fixpoint; returns [vertex, distance] with NULL for
+    unreachable. Negative weights rejected like the reference
+    (sssp_impl.cuh requires non-negative)."""
+    spark = G.edges.sparkSession
+    P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges = (
+        G.edges.select(SRC, DST, WGT).repartition(P, SRC).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    state = (
+        G.vertices()
+        .select(
+            "vertex",
+            F.when(F.col("vertex") == source, F.lit(0.0)).otherwise(F.lit(None).cast("double")).alias("distance"),
+        )
+        .repartition(P, "vertex")
+        .localCheckpoint(eager=False)
+    )
+    # frontier = vertices whose distance improved last round
+    frontier = state.filter(F.col("distance").isNotNull())
+    for _ in range(max_iter):
+        cand = (
+            frontier.join(edges, frontier["vertex"] == edges[SRC])
+            .groupBy(DST)
+            .agg(F.min(F.col("distance") + F.col(WGT)).alias("cand"))
+        )
+        joined = state.join(cand, state["vertex"] == cand[DST], "left")
+        improved = joined.filter(
+            F.col("cand").isNotNull()
+            & (F.col("distance").isNull() | (F.col("cand") < F.col("distance")))
+        ).select(state["vertex"], F.col("cand").alias("distance")).localCheckpoint(eager=False)
+        n_impr = improved.count()
+        if n_impr == 0:
+            break
+        state = (
+            state.join(improved.withColumnRenamed("vertex", "iv").withColumnRenamed("distance", "nd"),
+                       state["vertex"] == F.col("iv"), "left")
+            .select(
+                state["vertex"],
+                F.when(F.col("iv").isNotNull(), F.col("nd")).otherwise(state["distance"]).alias("distance"),
+            )
+            .repartition(P, "vertex")
+            .localCheckpoint(eager=False)
+        )
+        frontier = improved
+    edges.unpersist()
+    return state.select("vertex", "distance")
+
+
+def k_hop_neighbors(G: Graph, start: DataFrame, k: int) -> DataFrame:
+    """Distinct vertices within ≤ k hops (k_hop_nbrs semantics): returns
+    [start_vertex, nbr]. ``start``: single-column DataFrame of seeds."""
+    seeds = start.select(F.col(start.columns[0]).alias("start_vertex"))
+    reach = seeds.withColumn("nbr", F.col("start_vertex"))
+    edges = G.edges.select(SRC, DST)
+    for _ in range(k):
+        step = (
+            reach.join(edges, reach["nbr"] == edges[SRC])
+            .select("start_vertex", F.col(DST).alias("nbr"))
+        )
+        reach = reach.unionByName(step).distinct().localCheckpoint(eager=False)
+    return reach

@@ -1,0 +1,125 @@
+"""Per-vertex triangle counting — degree orientation + 3-way self-join.
+
+Recreates ``cugraph.triangle_count`` (``community/triangle_count.py:45-122``;
+CUDA pipeline ``community/triangle_count_impl.cuh``, 535 LoC):
+
+1. require symmetric non-multigraph (:139-144) — enforced here;
+2. drop self-loops (:339-358) — a filter;
+3. **degree orientation** (:404-445): keep only edges from the
+   (degree, id)-lexicographically smaller endpoint to the larger —
+   turns the graph into a DAG with max out-degree O(√E), which is what
+   keeps the self-join below skew-safe (same reason the reference
+   orients before neighbor intersection);
+4. **neighbor intersection** (:449-464,
+   ``transform_reduce_dst_nbr_intersection_of_e_endpoints_by_v``): in
+   Spark, the classic oriented 3-way join — for oriented edges
+   (u,v),(v,w),(u,w) each triangle is found exactly once; every corner
+   (u, v, w) gets +1;
+5. scatter counts back over all vertices (0 for triangle-free).
+
+The reference's 2-core pruning (:360-402) and start_list 2-hop masking
+(:182-337) are pure optimizations; ``start_list`` filtering is applied
+on the *result* here (identical output contract,
+triangle_count.py:45-122 docs).
+
+Scale notes: the oriented edge list is materialized once; the two joins
+shuffle on single vertex keys with bounded fan-out √E. Total triangles
+= Σ counts / 3 (triangle_count.py docs).
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..graph import DST, SRC, Graph
+
+
+def _oriented_edges(G: Graph) -> DataFrame:
+    """Undirected simple edges oriented low-(degree,id) → high."""
+    und = (
+        G.edges.select(SRC, DST)
+        .filter(F.col(SRC) < F.col(DST))  # one row per undirected edge
+        .distinct()
+    )
+    deg = (
+        und.select(F.col(SRC).alias("v"))
+        .unionByName(und.select(F.col(DST).alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    ds = deg.select(F.col("v").alias(SRC), F.col("d").alias("d_src"))
+    dd = deg.select(F.col("v").alias(DST), F.col("d").alias("d_dst"))
+    e = und.join(ds, SRC).join(dd, DST)
+    keep_fwd = (F.col("d_src") < F.col("d_dst")) | (
+        (F.col("d_src") == F.col("d_dst")) & (F.col(SRC) < F.col(DST))
+    )
+    fwd = e.filter(keep_fwd).select(SRC, DST)
+    rev = e.filter(~keep_fwd).select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
+    return fwd.unionByName(rev)
+
+
+def triangle_count(
+    G: Graph,
+    start_list: DataFrame | None = None,
+) -> DataFrame:
+    """Returns DataFrame ``[vertex, counts]`` (reference column names,
+    triangle_count.py:45-122). Requires undirected non-multi graph."""
+    if G.directed:
+        raise ValueError("triangle_count requires an undirected graph")
+
+    o = _oriented_edges(G).persist(StorageLevel.MEMORY_AND_DISK)
+
+    e1 = o.select(F.col(SRC).alias("u"), F.col(DST).alias("v"))
+    e2 = o.select(F.col(SRC).alias("v"), F.col(DST).alias("w"))
+    e3 = o.select(F.col(SRC).alias("u"), F.col(DST).alias("w"))
+    tri = e1.join(e2, "v").join(e3, ["u", "w"])  # each triangle once
+
+    corners = (
+        tri.select(F.col("u").alias("vertex"))
+        .unionByName(tri.select(F.col("v").alias("vertex")))
+        .unionByName(tri.select(F.col("w").alias("vertex")))
+    )
+    counts = corners.groupBy("vertex").agg(F.count("*").alias("counts"))
+
+    result = (
+        G.vertices()
+        .join(counts, "vertex", "left")
+        .select(
+            "vertex", F.coalesce("counts", F.lit(0)).cast("long").alias("counts")
+        )
+    )
+    if start_list is not None:
+        sl = start_list.select(F.col(start_list.columns[0]).alias("vertex"))
+        result = result.join(sl, "vertex", "left_semi")
+    o.unpersist()
+    return result
+
+
+def edge_triangle_count(G: Graph) -> DataFrame:
+    """Per-edge triangle counts (``community/edge_triangle_count_impl.cuh``):
+    for each undirected edge (a,b), the number of common neighbors.
+    Returns ``[src, dst, counts]`` with src < dst."""
+    if G.directed:
+        raise ValueError("edge_triangle_count requires an undirected graph")
+    o = _oriented_edges(G).persist(StorageLevel.MEMORY_AND_DISK)
+    e1 = o.select(F.col(SRC).alias("u"), F.col(DST).alias("v"))
+    e2 = o.select(F.col(SRC).alias("v"), F.col(DST).alias("w"))
+    e3 = o.select(F.col(SRC).alias("u"), F.col(DST).alias("w"))
+    tri = e1.join(e2, "v").join(e3, ["u", "w"])
+    sides = (
+        tri.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .unionByName(tri.select(F.col("v").alias("a"), F.col("w").alias("b")))
+        .unionByName(tri.select(F.col("u").alias("a"), F.col("w").alias("b")))
+        .select(
+            F.least("a", "b").alias(SRC), F.greatest("a", "b").alias(DST)
+        )
+    )
+    counts = sides.groupBy(SRC, DST).agg(F.count("*").alias("counts"))
+    und = G.edges.select(SRC, DST).filter(F.col(SRC) < F.col(DST)).distinct()
+    out = und.join(counts, [SRC, DST], "left").select(
+        SRC, DST, F.coalesce("counts", F.lit(0)).cast("long").alias("counts")
+    )
+    o.unpersist()
+    return out

@@ -1,0 +1,133 @@
+"""Weakly connected components — distributed hash-min label propagation.
+
+Recreates ``cugraph.weakly_connected_components``
+(``components/connectivity.py:102-200``) over a symmetrized edge
+DataFrame. The reference's CUDA implementation
+(``components/weakly_connected_components_impl.cuh``, 771 LoC) is a
+multi-root frontier BFS with conflict-edge contraction levels — a GPU
+latency optimization. Its *contract* (validated by bijection at
+``weakly_connected_components_test.cpp:179-191``) is only that every
+vertex in a component gets the same label and different components get
+different labels; the label is some vertex id of the component.
+
+We standardize on the **minimum vertex id** per component (deterministic,
+exactly testable, bijection-equivalent to the reference) and compute it
+with hash-min propagation accelerated by pointer jumping:
+
+- superstep: ``label(v) ← min(label(v), min_{u~v} label(u))``
+  (one edges⋈state join + groupBy(dst).min — map-side combinable), then
+- pointer jump: ``label(v) ← label(label(v))`` (state self-join), the
+  Spark analog of the reference's contraction levels; together they give
+  O(log d) supersteps instead of O(diameter).
+
+Scale notes: the O(E) edge side is hash-partitioned on ``src`` once and
+persisted; each superstep re-shuffles only the O(V) label vector. The
+changed-count convergence check is the single action per superstep
+(host_scalar_allreduce analog). Labels checkpoint every
+``checkpoint_every`` supersteps for exact resume.
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..graph import DST, SRC, Graph
+from ..plans.checkpoint import CheckpointManager
+
+
+def weakly_connected_components(
+    G: Graph,
+    max_iter: int = 100,
+    num_partitions: int | None = None,
+    checkpoint: CheckpointManager | None = None,
+    checkpoint_every: int = 5,
+    resume: bool = False,
+) -> DataFrame:
+    """Returns DataFrame ``[vertex, labels]`` (reference column name,
+    connectivity.py:102-200); ``labels`` = min vertex id in the
+    component. Requires an undirected (symmetrized) graph, mirroring
+    the reference's check at connectivity.py:185-187."""
+    if G.directed:
+        raise ValueError(
+            "weakly_connected_components requires an undirected (symmetrized) "
+            "graph — construct Graph(..., directed=False)"
+        )
+    spark = G.edges.sparkSession
+    P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    edges = (
+        G.edges.select(SRC, DST)
+        .filter(F.col(SRC) != F.col(DST))
+        .repartition(P, SRC)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    start_iter = 0
+    if resume and checkpoint is not None and checkpoint.latest_iteration() is not None:
+        it0 = checkpoint.latest_iteration()
+        saved, meta = checkpoint.load(spark, it0)
+        state = saved.repartition(P, "vertex").localCheckpoint(eager=False)
+        start_iter = meta["iteration"] + 1
+    else:
+        state = (
+            G.vertices()
+            .withColumn("labels", F.col("vertex"))
+            .repartition(P, "vertex")
+            .localCheckpoint(eager=False)
+        )
+
+    for it in range(start_iter, max_iter):
+        # hash-min over neighbors (isolated vertices keep their own label)
+        mins = (
+            edges.join(state, edges[SRC] == state["vertex"])
+            .groupBy(DST)
+            .agg(F.min("labels").alias("nbr_min"))
+        )
+        lowered = (
+            state.join(mins, state["vertex"] == mins[DST], "left")
+            .select(
+                state["vertex"],
+                F.least(
+                    state["labels"], F.coalesce("nbr_min", state["labels"])
+                ).alias("labels"),
+            )
+        )
+        # pointer jump: labels ← labels(labels) — contraction-level analog
+        lab = lowered.select(
+            F.col("vertex").alias("lv"), F.col("labels").alias("ll")
+        )
+        jumped = (
+            lowered.join(lab, lowered["labels"] == lab["lv"], "left")
+            .select(
+                lowered["vertex"],
+                F.coalesce("ll", lowered["labels"]).alias("labels"),
+            )
+            .repartition(P, "vertex")
+            .localCheckpoint(eager=False)
+        )
+
+        changed = (
+            jumped.join(
+                state.select("vertex", F.col("labels").alias("old")), "vertex"
+            )
+            .agg(
+                F.sum(
+                    F.when(F.col("labels") != F.col("old"), 1).otherwise(0)
+                ).alias("c")
+            )
+            .first()["c"]
+        )
+        state = jumped
+
+        if checkpoint is not None and checkpoint_every and (it + 1) % checkpoint_every == 0:
+            state = checkpoint.save(
+                state.select("vertex", "labels"), it, {"changed": int(changed)}
+            )
+
+        if changed == 0:
+            break
+
+    edges.unpersist()
+    return state.select("vertex", "labels")

@@ -1,0 +1,695 @@
+"""Driver-contract query catalog: Spark queries + DuckDB oracle SQL.
+
+Each entry here is one operator from SURVEY.md §2 (or a pipeline
+function) instantiated over the driver's TPC-H-ish testdata tables.
+Graph queries run over edge tables DERIVED deterministically from the
+relational tables (the analog of extracting the import-link graph from
+the source-code table):
+
+- ``edges_cs``: customer → supplier purchase edges (directed, weighted
+  by Σ quantity; suppliers offset +100000 into a disjoint id space);
+- ``edges_nation``: customer-nation → supplier-nation trade edges (25
+  vertices, self-loops allowed, non-bipartite — for LPA/BFS/two-hop);
+- ``edges_ss``: supplier–supplier co-supply pairs (undirected, share a
+  part — for triangle counting / jaccard).
+
+Every Spark query has a column-name-aligned ANSI-SQL oracle (DuckDB)
+built on the same derivations; iterative algorithms are oracled by
+*unrolling* a fixed number of supersteps into nested CTEs (exact same
+arithmetic), and fixpoint algorithms (WCC) by a recursive-CTE
+transitive closure. Doubles are rounded (and +0.0 normalized) on both
+sides before hashing. Queries whose Spark plan uses xxhash64 (minhash,
+simhash, fingerprints) have no SQL twin → rows-only checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .graph import Graph
+from .operators.centrality import hits, katz_centrality
+from .operators.cores import core_number
+from .operators.label_propagation import label_propagation
+from .operators.pagerank import pagerank
+from .operators.similarity import jaccard
+from .operators.traversal import bfs, sssp
+from .operators.triangle_count import edge_triangle_count, triangle_count
+from .operators.wcc import weakly_connected_components
+from .functions.ann import cosine_topk_bruteforce, lsh_bucket, _dot, _norm
+from .functions.dedup import (
+    exact_duplicates,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+)
+from .functions.text import language_id, quality_score, token_count
+
+ALPHA = 0.85
+PR_ITERS = 5
+KATZ_ALPHA = 0.01
+KATZ_ITERS = 3
+LPA_ITERS = 2
+
+
+# ---------------------------------------------------------------- tables
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def edges_cs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _read(spark, sf_dir, "lineitem")
+    o = _read(spark, sf_dir, "orders")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.col("o_custkey").cast("long").alias("src"),
+            (F.col("l_suppkey") + 100000).cast("long").alias("dst"),
+        )
+        .agg(F.sum("l_quantity").cast("double").alias("weight"))
+    )
+
+
+EDGES_CS_SQL = """
+SELECT CAST(o_custkey AS BIGINT) AS src,
+       CAST(l_suppkey + 100000 AS BIGINT) AS dst,
+       CAST(SUM(l_quantity) AS DOUBLE) AS weight
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2
+"""
+
+
+def edges_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _read(spark, sf_dir, "lineitem")
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    s = _read(spark, sf_dir, "supplier")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, l["l_suppkey"] == s["s_suppkey"])
+        .groupBy(
+            F.col("c_nationkey").cast("long").alias("src"),
+            F.col("s_nationkey").cast("long").alias("dst"),
+        )
+        .agg(F.count("*").cast("double").alias("weight"))
+    )
+
+
+EDGES_NATION_SQL = """
+SELECT CAST(c_nationkey AS BIGINT) AS src,
+       CAST(s_nationkey AS BIGINT) AS dst,
+       CAST(COUNT(*) AS DOUBLE) AS weight
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+JOIN supplier ON l_suppkey  = s_suppkey
+GROUP BY 1, 2
+"""
+
+
+def edges_ss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _read(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    a = ps.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("src"))
+    b = ps.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("dst"))
+    return (
+        a.join(b, "p")
+        .filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .distinct()
+        .withColumn("weight", F.lit(1.0))
+    )
+
+
+EDGES_SS_SQL = """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT CAST(a.l_suppkey AS BIGINT) AS src,
+       CAST(b.l_suppkey AS BIGINT) AS dst,
+       CAST(1.0 AS DOUBLE) AS weight
+FROM ps a JOIN ps b ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------- queries
+
+def q_out_degree(spark, sf_dir):
+    e = edges_cs(spark, sf_dir)
+    G = Graph(e, directed=True, weighted=True)
+    return (
+        G.out_degree()
+        .join(G.out_weight_sums(), "vertex")
+        .select("vertex", "out_degree", (F.round("ows", 6) + F.lit(0.0)).alias("ows"))
+    )
+
+
+Q_OUT_DEGREE_SQL = f"""
+WITH edges AS ({EDGES_CS_SQL}),
+verts AS (SELECT src AS vertex FROM edges UNION SELECT dst FROM edges)
+SELECT v.vertex AS vertex,
+       CAST(COALESCE(d.cnt, 0) AS BIGINT) AS out_degree,
+       ROUND(COALESCE(d.ows, 0.0), 6) + 0.0 AS ows
+FROM verts v
+LEFT JOIN (SELECT src, COUNT(*) AS cnt, SUM(weight) AS ows FROM edges GROUP BY src) d
+  ON v.vertex = d.src
+"""
+
+
+def q_symmetrize(spark, sf_dir):
+    from .graph import symmetrize
+
+    e = edges_nation(spark, sf_dir)
+    return symmetrize(e).select(
+        "src", "dst", (F.round("weight", 6) + F.lit(0.0)).alias("weight")
+    )
+
+
+Q_SYMMETRIZE_SQL = f"""
+WITH e AS ({EDGES_NATION_SQL}),
+u AS (SELECT src, dst, weight FROM e UNION ALL SELECT dst, src, weight FROM e)
+SELECT src, dst, ROUND(MIN(weight), 6) + 0.0 AS weight FROM u GROUP BY src, dst
+"""
+
+
+def q_renumber(spark, sf_dir):
+    from .graph import renumber
+
+    e = edges_cs(spark, sf_dir)
+    _, mapping = renumber(e)
+    return mapping.select("id", F.col("external").cast("long").alias("external"))
+
+
+Q_RENUMBER_SQL = f"""
+WITH edges AS ({EDGES_CS_SQL}),
+verts AS (SELECT src AS external FROM edges UNION SELECT dst FROM edges)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY external) - 1 AS BIGINT) AS id,
+       external
+FROM verts
+"""
+
+
+def q_pagerank(spark, sf_dir):
+    e = edges_cs(spark, sf_dir)
+    G = Graph(e, directed=True, weighted=True)
+    pr = pagerank(G, alpha=ALPHA, tol=0.0, max_iter=PR_ITERS)
+    return pr.select("vertex", (F.round("pagerank", 8) + F.lit(0.0)).alias("pagerank"))
+
+
+def _pagerank_sql(edges_sql: str, iters: int, alpha: float) -> str:
+    parts = [
+        f"WITH edges AS ({edges_sql})",
+        "verts AS (SELECT src AS vertex FROM edges UNION SELECT dst FROM edges)",
+        "vc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM verts)",
+        "ows AS (SELECT v.vertex, COALESCE(s.ows, 0.0) AS ows FROM verts v "
+        "LEFT JOIN (SELECT src, SUM(weight) AS ows FROM edges GROUP BY src) s "
+        "ON v.vertex = s.src)",
+        "r0 AS (SELECT vertex, ows, 1.0 / (SELECT v FROM vc) AS rank FROM ows)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"d{i} AS (SELECT COALESCE(SUM(CASE WHEN ows = 0.0 THEN rank END), 0.0) AS dang FROM r{i})"
+        )
+        parts.append(
+            f"c{i} AS (SELECT e.dst AS vertex, "
+            f"SUM(r.rank / (CASE WHEN r.ows = 0.0 THEN 1.0 ELSE r.ows END) * e.weight) AS contrib "
+            f"FROM edges e JOIN r{i} r ON e.src = r.vertex GROUP BY e.dst)"
+        )
+        parts.append(
+            f"r{i + 1} AS (SELECT o.vertex, o.ows, "
+            f"{alpha} * COALESCE(c.contrib, 0.0) + "
+            f"((SELECT dang FROM d{i}) * {alpha} + {1.0 - alpha}) / (SELECT v FROM vc) AS rank "
+            f"FROM ows o LEFT JOIN c{i} c ON o.vertex = c.vertex)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT vertex, ROUND(rank, 8) + 0.0 AS pagerank FROM r{iters}"
+    )
+
+
+def q_katz(spark, sf_dir):
+    e = edges_cs(spark, sf_dir)
+    G = Graph(e, directed=True, weighted=True)
+    kz = katz_centrality(G, alpha=KATZ_ALPHA, beta=1.0, max_iter=KATZ_ITERS, tol=0.0)
+    return kz.select(
+        "vertex", (F.round("katz_centrality", 8) + F.lit(0.0)).alias("katz_centrality")
+    )
+
+
+def _katz_sql(edges_sql: str, iters: int, alpha: float, beta: float) -> str:
+    parts = [
+        f"WITH edges AS ({edges_sql})",
+        "verts AS (SELECT src AS vertex FROM edges UNION SELECT dst FROM edges)",
+        "k0 AS (SELECT vertex, 0.0 AS c FROM verts)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"a{i} AS (SELECT e.dst AS vertex, SUM(k.c * e.weight) AS s "
+            f"FROM edges e JOIN k{i} k ON e.src = k.vertex GROUP BY e.dst)"
+        )
+        parts.append(
+            f"k{i + 1} AS (SELECT v.vertex, {beta} + {alpha} * COALESCE(a.s, 0.0) AS c "
+            f"FROM verts v LEFT JOIN a{i} a ON v.vertex = a.vertex)"
+        )
+    parts.append(f"nrm AS (SELECT SQRT(SUM(c * c)) AS n FROM k{iters})")
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT vertex, ROUND(c / (SELECT n FROM nrm), 8) + 0.0 AS katz_centrality FROM k{iters}"
+    )
+
+
+def q_wcc(spark, sf_dir):
+    e = edges_cs(spark, sf_dir)
+    G = Graph(e, directed=False, weighted=True)
+    return weakly_connected_components(G)
+
+
+Q_WCC_SQL = f"""
+WITH RECURSIVE edges AS ({EDGES_CS_SQL}),
+sym AS (SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges)),
+reach(vertex, label) AS (
+    SELECT src AS vertex, src AS label FROM sym
+    UNION
+    SELECT s.dst AS vertex, r.label
+    FROM reach r JOIN sym s ON s.src = r.vertex
+)
+SELECT vertex, CAST(MIN(label) AS BIGINT) AS labels FROM reach GROUP BY vertex
+"""
+
+
+def q_lpa(spark, sf_dir):
+    e = edges_nation(spark, sf_dir)
+    G = Graph(e, directed=False, weighted=True)
+    return label_propagation(G, max_iter=LPA_ITERS)
+
+
+def _lpa_sql(edges_sql: str, iters: int) -> str:
+    parts = [
+        f"WITH e0 AS ({edges_sql})",
+        "eu AS (SELECT src, dst, weight FROM e0 UNION ALL SELECT dst, src, weight FROM e0)",
+        "e AS (SELECT src, dst, MIN(weight) AS weight FROM eu GROUP BY src, dst)",
+        "verts AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e)",
+        "l0 AS (SELECT vertex, vertex AS label FROM verts)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"s{i} AS (SELECT e.dst AS vertex, l.label, SUM(e.weight) AS w "
+            f"FROM e JOIN l{i} l ON e.src = l.vertex GROUP BY e.dst, l.label)"
+        )
+        parts.append(
+            f"b{i} AS (SELECT vertex, label FROM ("
+            f"SELECT vertex, label, ROW_NUMBER() OVER "
+            f"(PARTITION BY vertex ORDER BY w DESC, label ASC) AS rn FROM s{i}) t WHERE rn = 1)"
+        )
+        parts.append(
+            f"l{i + 1} AS (SELECT v.vertex, COALESCE(b.label, v.label) AS label "
+            f"FROM l{i} v LEFT JOIN b{i} b ON v.vertex = b.vertex)"
+        )
+    return ",\n".join(parts) + f"\nSELECT vertex, CAST(label AS BIGINT) AS labels FROM l{iters}"
+
+
+def q_triangle_count(spark, sf_dir):
+    e = edges_ss(spark, sf_dir)
+    G = Graph(e, directed=False, weighted=True)
+    return triangle_count(G)
+
+
+Q_TRIANGLE_SQL = f"""
+WITH e AS ({EDGES_SS_SQL}),
+und AS (SELECT src AS a, dst AS b FROM e),
+tri AS (
+    SELECT e1.a AS u, e1.b AS v, e2.b AS w
+    FROM und e1 JOIN und e2 ON e1.b = e2.a JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+corners AS (
+    SELECT u AS vertex FROM tri UNION ALL SELECT v FROM tri UNION ALL SELECT w FROM tri
+),
+verts AS (SELECT a AS vertex FROM und UNION SELECT b FROM und)
+SELECT vt.vertex, CAST(COALESCE(c.n, 0) AS BIGINT) AS counts
+FROM verts vt LEFT JOIN (SELECT vertex, COUNT(*) AS n FROM corners GROUP BY vertex) c
+ON vt.vertex = c.vertex
+"""
+
+
+def q_edge_triangle_count(spark, sf_dir):
+    e = edges_ss(spark, sf_dir)
+    G = Graph(e, directed=False, weighted=True)
+    return edge_triangle_count(G)
+
+
+Q_EDGE_TRIANGLE_SQL = f"""
+WITH e AS ({EDGES_SS_SQL}),
+und AS (SELECT src AS a, dst AS b FROM e),
+tri AS (
+    SELECT e1.a AS u, e1.b AS v, e2.b AS w
+    FROM und e1 JOIN und e2 ON e1.b = e2.a JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+sides AS (
+    SELECT u AS src, v AS dst FROM tri
+    UNION ALL SELECT v, w FROM tri
+    UNION ALL SELECT u, w FROM tri
+)
+SELECT u.a AS src, u.b AS dst, CAST(COALESCE(s.n, 0) AS BIGINT) AS counts
+FROM und u LEFT JOIN (SELECT src, dst, COUNT(*) AS n FROM sides GROUP BY src, dst) s
+ON u.a = s.src AND u.b = s.dst
+"""
+
+
+def q_jaccard(spark, sf_dir):
+    e = edges_ss(spark, sf_dir)
+    G = Graph(e, directed=False, weighted=True)
+    return jaccard(G).select(
+        "first", "second", (F.round("jaccard_coeff", 6) + F.lit(0.0)).alias("jaccard_coeff")
+    )
+
+
+Q_JACCARD_SQL = f"""
+WITH e AS ({EDGES_SS_SQL}),
+und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+deg AS (SELECT src AS v, COUNT(*) AS d FROM und GROUP BY src),
+isect AS (
+    SELECT a.src AS a, b.src AS b, COUNT(*) AS i
+    FROM und a JOIN und b ON a.dst = b.dst AND a.src < b.src
+    GROUP BY 1, 2
+)
+SELECT i.a AS first, i.b AS second,
+       ROUND(CAST(i.i AS DOUBLE) / (da.d + db.d - i.i), 6) + 0.0 AS jaccard_coeff
+FROM isect i JOIN deg da ON i.a = da.v JOIN deg db ON i.b = db.v
+"""
+
+
+def q_bfs(spark, sf_dir):
+    e = edges_nation(spark, sf_dir)
+    G = Graph(e, directed=True, weighted=True)
+    return bfs(G, source=0)
+
+
+Q_BFS_SQL = f"""
+WITH RECURSIVE e AS ({EDGES_NATION_SQL}),
+verts AS (SELECT DISTINCT vertex FROM (
+    SELECT src AS vertex FROM e UNION ALL SELECT dst AS vertex FROM e)),
+walk(vertex, d) AS (
+    SELECT CAST(0 AS BIGINT), 0
+    UNION
+    SELECT e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.vertex WHERE w.d < 30
+),
+dist AS (SELECT vertex, MIN(d) AS distance FROM walk GROUP BY vertex),
+pred AS (
+    SELECT dv.vertex, MIN(du.vertex) AS predecessor
+    FROM dist dv JOIN e ON e.dst = dv.vertex
+    JOIN dist du ON du.vertex = e.src AND du.distance = dv.distance - 1
+    WHERE dv.distance > 0
+    GROUP BY dv.vertex
+)
+SELECT v.vertex,
+       CAST(COALESCE(d.distance, -1) AS BIGINT) AS distance,
+       CAST(COALESCE(p.predecessor, -1) AS BIGINT) AS predecessor
+FROM verts v
+LEFT JOIN dist d ON v.vertex = d.vertex
+LEFT JOIN pred p ON v.vertex = p.vertex
+"""
+
+
+def q_two_hop(spark, sf_dir):
+    e = edges_nation(spark, sf_dir)
+    G = Graph(e, directed=True, weighted=True)
+    return G.two_hop_neighbors()
+
+
+Q_TWO_HOP_SQL = f"""
+WITH e AS ({EDGES_NATION_SQL})
+SELECT DISTINCT e1.src AS first, e2.dst AS second
+FROM e e1 JOIN e e2 ON e1.dst = e2.src
+WHERE e1.src <> e2.dst
+"""
+
+
+# rows-only (non-SQL-expressible: xxhash64-based or long fixpoints)
+
+def q_core_number(spark, sf_dir):
+    e = edges_ss(spark, sf_dir)
+    G = Graph(e, directed=False, weighted=True)
+    return core_number(G)
+
+
+def q_hits(spark, sf_dir):
+    e = edges_cs(spark, sf_dir)
+    G = Graph(e, directed=True, weighted=True)
+    return hits(G, max_iter=20, tol=1e-7).select(
+        "vertex",
+        (F.round("hubs", 8) + F.lit(0.0)).alias("hubs"),
+        (F.round("authorities", 8) + F.lit(0.0)).alias("authorities"),
+    )
+
+
+def q_sssp(spark, sf_dir):
+    e = edges_nation(spark, sf_dir)
+    G = Graph(e, directed=True, weighted=True)
+    return sssp(G, source=0).select(
+        "vertex", (F.round("distance", 6) + F.lit(0.0)).alias("distance")
+    )
+
+
+# ------------------------------------------------ documents / embeddings
+
+def q_doc_language(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return language_id(docs).select("doc_id", "lang_pred")
+
+
+def _langid_sql() -> str:
+    from .functions.text import LANG_PROFILES, _stopword_regex
+
+    langs = sorted(LANG_PROFILES)  # de, en, es, fr
+    hits_cols = ", ".join(
+        f"len(regexp_extract_all(lower(text), '{_stopword_regex(LANG_PROFILES[lg])}', 1)) AS {lg}"
+        for lg in langs
+    )
+    # argmax with earlier-language tie-break (same order as Spark side)
+    case = (
+        "CASE "
+        + " ".join(
+            f"WHEN {lg} >= GREATEST({', '.join(o for o in langs)}) THEN '{lg}'"
+            for lg in langs
+        )
+        + " END"
+    )
+    return f"""
+WITH h AS (SELECT doc_id, {hits_cols} FROM documents)
+SELECT doc_id,
+       CASE WHEN GREATEST(de, en, es, fr) > 0 THEN {case} ELSE 'und' END AS lang_pred
+FROM h
+"""
+
+
+def q_doc_tokens(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    out = token_count(docs, out_col="n_ws")
+    out = token_count(out, out_col="n_bpe", mode="bpe_ish")
+    return out.select("doc_id", "n_ws", "n_bpe")
+
+
+Q_DOC_TOKENS_SQL = r"""
+SELECT doc_id,
+       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_ws,
+       CAST(len(regexp_extract_all(text,
+            '(''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+)', 1)) AS BIGINT) AS n_bpe
+FROM documents
+"""
+
+
+def q_doc_quality(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return quality_score(docs).select(
+        "doc_id", (F.round("quality", 6) + F.lit(0.0)).alias("quality")
+    )
+
+
+def _quality_sql() -> str:
+    from .functions.text import LANG_PROFILES, _stopword_regex
+
+    all_stop = _stopword_regex(sorted({w for ws in LANG_PROFILES.values() for w in ws}))
+    return rf"""
+WITH s AS (
+    SELECT doc_id,
+           length(text) AS n_chars,
+           GREATEST(len(regexp_split_to_array(trim(text), '\s+')), 1) AS n_words,
+           len(regexp_extract_all(lower(text), '{all_stop}', 1)) AS stop_hits,
+           length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS non_alnum
+    FROM documents
+)
+SELECT doc_id, ROUND((
+    (CASE WHEN n_chars >= 50 AND n_chars <= 100000 THEN 1.0 ELSE 0.0 END) +
+    (CASE WHEN n_chars * 1.0 / n_words >= 3.0 AND n_chars * 1.0 / n_words <= 12.0 THEN 1.0 ELSE 0.0 END) +
+    (CASE WHEN stop_hits * 1.0 / n_words >= 0.05 THEN 1.0 ELSE 0.0 END) +
+    (CASE WHEN non_alnum * 1.0 / GREATEST(n_chars, 1) <= 0.4 THEN 1.0 ELSE 0.0 END)
+) / 4.0, 6) + 0.0 AS quality
+FROM s
+"""
+
+
+def q_doc_exact_dups(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return exact_duplicates(docs).select(
+        "dup_group", "n_dups", F.element_at("ids", 1).alias("min_id")
+    )
+
+
+Q_DOC_EXACT_DUPS_SQL = """
+SELECT sha256(text) AS dup_group,
+       CAST(COUNT(*) AS BIGINT) AS n_dups,
+       CAST(MIN(doc_id) AS BIGINT) AS min_id
+FROM documents GROUP BY sha256(text) HAVING COUNT(*) >= 2
+"""
+
+
+def q_doc_ngram_jaccard(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.2).select(
+        "a", "b", (F.round("jaccard", 6) + F.lit(0.0)).alias("jaccard")
+    )
+
+
+Q_DOC_NGRAM_SQL = r"""
+WITH words AS (
+    SELECT doc_id,
+           regexp_split_to_array(trim(lower(regexp_replace(text, '[^\w\s]', '', 'g'))), '\s+') AS w
+    FROM documents
+),
+grams AS (
+    SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+    FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
+    WHERE len(w) >= 3
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+inter AS (
+    SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+    FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id
+    GROUP BY 1, 2
+)
+SELECT i.a AS a, i.b AS b,
+       ROUND(CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i), 6) + 0.0 AS jaccard
+FROM inter i JOIN sizes sa ON i.a = sa.doc_id JOIN sizes sb ON i.b = sb.doc_id
+WHERE CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i) >= 0.2
+"""
+
+
+def q_minhash_pairs(spark, sf_dir):  # rows-only: xxhash64 has no SQL twin
+    docs = _read(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(docs, threshold=0.5).select(
+        "a", "b", (F.round("jaccard", 6) + F.lit(0.0)).alias("jaccard")
+    )
+
+
+def q_simhash_pairs(spark, sf_dir):  # rows-only
+    docs = _read(spark, sf_dir, "documents")
+    return simhash_near_duplicates(docs, max_hamming=8)
+
+
+def q_embedding_norms(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    return emb.select(
+        "vec_id", (F.round(_norm(v), 6) + F.lit(0.0)).alias("l2_norm")
+    )
+
+
+Q_EMBEDDING_NORMS_SQL = """
+SELECT vec_id,
+       ROUND(sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) + 0.0 AS l2_norm
+FROM embeddings
+"""
+
+
+def q_cosine_top1(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    top = cosine_topk_bruteforce(emb, emb, k=1)
+    return top.select(
+        F.col("query_id").alias("vec_id"),
+        F.col("vec_id").alias("nn_id"),
+        (F.round("cosine", 4) + F.lit(0.0)).alias("cosine"),
+    )
+
+
+Q_COSINE_TOP1_SQL = """
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+scored AS (
+    SELECT q.vec_id AS vec_id, c.vec_id AS nn_id,
+           list_sum(list_zip(q.e, c.e).apply(p -> p[1] * p[2]))
+           / (sqrt(list_sum(q.e.apply(x -> x * x))) * sqrt(list_sum(c.e.apply(x -> x * x)))) AS cos
+    FROM v q JOIN v c ON q.vec_id <> c.vec_id
+),
+best AS (
+    SELECT vec_id, nn_id, cos,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, nn_id ASC) AS rn
+    FROM scored
+)
+SELECT vec_id, nn_id, ROUND(cos, 4) + 0.0 AS cosine FROM best WHERE rn = 1
+"""
+
+
+def q_embedding_lsh_buckets(spark, sf_dir):  # rows-only (hash planes)
+    emb = _read(spark, sf_dir, "embeddings")
+    return lsh_bucket(emb, n_planes=8).select("vec_id", "lsh_bucket")
+
+
+# ---------------------------------------------------------------- registry
+
+def queries():
+    return {
+        "out_degree": q_out_degree,
+        "symmetrize": q_symmetrize,
+        "renumber": q_renumber,
+        "pagerank5": q_pagerank,
+        "katz3": q_katz,
+        "wcc": q_wcc,
+        "lpa2": q_lpa,
+        "triangle_count": q_triangle_count,
+        "edge_triangle_count": q_edge_triangle_count,
+        "jaccard": q_jaccard,
+        "bfs": q_bfs,
+        "two_hop": q_two_hop,
+        "core_number": q_core_number,
+        "hits": q_hits,
+        "sssp": q_sssp,
+        "doc_language": q_doc_language,
+        "doc_tokens": q_doc_tokens,
+        "doc_quality": q_doc_quality,
+        "doc_exact_dups": q_doc_exact_dups,
+        "doc_ngram_jaccard": q_doc_ngram_jaccard,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "embedding_norms": q_embedding_norms,
+        "cosine_top1": q_cosine_top1,
+        "embedding_lsh_buckets": q_embedding_lsh_buckets,
+    }
+
+
+def oracle_sql():
+    return {
+        "out_degree": Q_OUT_DEGREE_SQL,
+        "symmetrize": Q_SYMMETRIZE_SQL,
+        "renumber": Q_RENUMBER_SQL,
+        "pagerank5": _pagerank_sql(EDGES_CS_SQL, PR_ITERS, ALPHA),
+        "katz3": _katz_sql(EDGES_CS_SQL, KATZ_ITERS, KATZ_ALPHA, 1.0),
+        "wcc": Q_WCC_SQL,
+        "lpa2": _lpa_sql(EDGES_NATION_SQL, LPA_ITERS),
+        "triangle_count": Q_TRIANGLE_SQL,
+        "edge_triangle_count": Q_EDGE_TRIANGLE_SQL,
+        "jaccard": Q_JACCARD_SQL,
+        "bfs": Q_BFS_SQL,
+        "two_hop": Q_TWO_HOP_SQL,
+        "doc_language": _langid_sql(),
+        "doc_tokens": Q_DOC_TOKENS_SQL,
+        "doc_quality": _quality_sql(),
+        "doc_exact_dups": Q_DOC_EXACT_DUPS_SQL,
+        "doc_ngram_jaccard": Q_DOC_NGRAM_SQL,
+        "embedding_norms": Q_EMBEDDING_NORMS_SQL,
+        "cosine_top1": Q_COSINE_TOP1_SQL,
+        # core_number / hits / sssp / minhash / simhash / lsh_buckets:
+        # intentionally no SQL twin (xxhash64 or unbounded fixpoint) →
+        # rows-only checks.
+    }

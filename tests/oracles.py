@@ -250,3 +250,51 @@ def core_number_ref(edges, n=None):
                         if alive[u]:
                             deg[u] -= 1
     return core
+
+
+def sssp_ref(edges, source, n=None):
+    """Dijkstra distances from source over the directed weighted edge
+    list (sssp_impl.cuh semantics, non-negative weights); unreachable →
+    None."""
+    import heapq
+
+    src, dst, w, n_auto = _to_arrays(edges)
+    n = n if n is not None else n_auto
+    adj = [[] for _ in range(n)]
+    for s, d, wt in zip(src, dst, w):
+        adj[s].append((d, wt))
+    dist = [None] * n
+    dist[source] = 0.0
+    pq = [(0.0, source)]
+    while pq:
+        du, u = heapq.heappop(pq)
+        if dist[u] is not None and du > dist[u]:
+            continue
+        for v, wt in adj[u]:
+            nd = du + wt
+            if dist[v] is None or nd < dist[v]:
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    return dist
+
+
+def jaccard_ref(edges_sym, n=None):
+    """{(a,b): (isect, d_a, d_b)} over all 2-hop pairs a<b of the
+    undirected simple graph."""
+    src, dst, _, n_auto = _to_arrays(edges_sym)
+    n = n if n is not None else n_auto
+    adj = [set() for _ in range(n)]
+    for s, d in zip(src, dst):
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    out = {}
+    for w_ in range(n):
+        nb = sorted(adj[w_])
+        for i in range(len(nb)):
+            for j in range(i + 1, len(nb)):
+                a, b = nb[i], nb[j]
+                if (a, b) not in out:
+                    isect = len(adj[a] & adj[b])
+                    out[(a, b)] = (isect, len(adj[a]), len(adj[b]))
+    return out

@@ -1,0 +1,146 @@
+"""HITS / Katz / eigenvector / degree centrality + BFS / SSSP / k-hop +
+core_number / k_core + jaccard-family vs numpy oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from cugraph_spark import (
+    Graph,
+    bfs,
+    core_number,
+    degree_centrality,
+    eigenvector_centrality,
+    hits,
+    jaccard,
+    k_core,
+    k_hop_neighbors,
+    katz_centrality,
+    overlap,
+    sorensen,
+    sssp,
+)
+from .conftest import edges_df, make_edges, sym_tuples
+from .oracles import (
+    bfs_ref,
+    core_number_ref,
+    eigenvector_ref,
+    hits_ref,
+    jaccard_ref,
+    katz_ref,
+    sssp_ref,
+)
+
+
+def test_hits_matches_oracle(spark):
+    edges = make_edges("directed_asym")
+    G = Graph(edges_df(spark, edges), directed=True)
+    res = {r["vertex"]: (r["hubs"], r["authorities"]) for r in hits(G, max_iter=50, tol=1e-6).collect()}
+    h_ref, a_ref = hits_ref(edges, max_iter=50, tol=1e-6)
+    for v, (h, a) in res.items():
+        assert abs(h - h_ref[v]) < 1e-4
+        assert abs(a - a_ref[v]) < 1e-4
+
+
+def test_katz_matches_oracle(spark):
+    edges = make_edges("directed_asym")
+    G = Graph(edges_df(spark, edges), directed=True)
+    res = {r["vertex"]: r["katz_centrality"]
+           for r in katz_centrality(G, alpha=0.05, max_iter=50).collect()}
+    ref = katz_ref(edges, alpha=0.05, max_iter=50)
+    for v, c in res.items():
+        assert abs(c - ref[v]) < 1e-5
+
+
+def test_eigenvector_matches_oracle(spark):
+    edges = make_edges("tiny_social")
+    G = Graph(edges_df(spark, edges), directed=False)
+    res = {r["vertex"]: r["eigenvector_centrality"]
+           for r in eigenvector_centrality(G, max_iter=80, tol=1e-8).collect()}
+    ref = eigenvector_ref(sym_tuples(edges), max_iter=80, tol=1e-8)
+    for v, c in res.items():
+        assert abs(c - ref[v]) < 1e-4
+
+
+def test_degree_centrality(spark):
+    edges = [(0, 1, 1.0), (0, 2, 1.0), (1, 2, 1.0)]
+    G = Graph(edges_df(spark, edges), directed=False)
+    res = {r["vertex"]: r["degree_centrality"] for r in degree_centrality(G).collect()}
+    assert res == {0: 1.0, 1: 1.0, 2: 1.0}
+
+
+@pytest.mark.parametrize("kind,source", [("line", 0), ("tiny_social", 3), ("disjoint", 101)])
+def test_bfs_matches_oracle(spark, kind, source):
+    edges = make_edges(kind)
+    G = Graph(edges_df(spark, edges), directed=True)
+    res = {r["vertex"]: (r["distance"], r["predecessor"]) for r in bfs(G, source).collect()}
+    dist, pred = bfs_ref(edges, source, directed=True)
+    for v, (d, p) in res.items():
+        assert d == dist[v], f"vertex {v}"
+        assert p == pred[v], f"vertex {v}"
+
+
+def test_sssp_matches_oracle(spark):
+    edges = make_edges("weighted")
+    G = Graph(edges_df(spark, edges), directed=True)
+    res = {r["vertex"]: r["distance"] for r in sssp(G, 0).collect()}
+    ref = sssp_ref(edges, 0)
+    for v, d in res.items():
+        if ref[v] is None:
+            assert d is None
+        else:
+            assert d is not None and abs(d - ref[v]) < 1e-9
+
+
+def test_k_hop_neighbors(spark):
+    edges = make_edges("line")  # 0→1→...→9
+    G = Graph(edges_df(spark, edges), directed=True)
+    start = spark.createDataFrame([(0,)], "v long")
+    got = sorted(r["nbr"] for r in k_hop_neighbors(G, start, 3).collect())
+    assert got == [0, 1, 2, 3]
+
+
+@pytest.mark.parametrize("kind", ["triangle_mesh", "tiny_social"])
+def test_core_number_matches_oracle(spark, kind):
+    edges = make_edges(kind)
+    G = Graph(edges_df(spark, edges), directed=False)
+    got = {r["vertex"]: r["core_number"] for r in core_number(G).collect()}
+    ref = core_number_ref(edges)
+    assert got == {v: int(ref[v]) for v in sorted(got)}
+
+
+def test_k_core_subgraph(spark):
+    edges = make_edges("triangle_mesh")  # K4 (core 3) + path (core 1)
+    G = Graph(edges_df(spark, edges), directed=False)
+    sub = k_core(G, 3)
+    verts = sorted(r["vertex"] for r in sub.vertices().collect())
+    assert verts == [0, 1, 2, 3]
+    degs = {r["vertex"]: r["degree"] for r in sub.degree().collect()}
+    assert all(d >= 3 for d in degs.values())
+
+
+def test_jaccard_family_matches_oracle(spark):
+    edges = make_edges("triangle_mesh")
+    G = Graph(edges_df(spark, edges), directed=False)
+    ref = jaccard_ref(sym_tuples(edges))
+    jac = {(r["first"], r["second"]): r["jaccard_coeff"] for r in jaccard(G).collect()}
+    ovl = {(r["first"], r["second"]): r["overlap_coeff"] for r in overlap(G).collect()}
+    sor = {(r["first"], r["second"]): r["sorensen_coeff"] for r in sorensen(G).collect()}
+    assert set(jac) == set(ref)
+    for (a, b), (isect, da, db) in ref.items():
+        assert abs(jac[(a, b)] - isect / (da + db - isect)) < 1e-12
+        assert abs(ovl[(a, b)] - isect / min(da, db)) < 1e-12
+        assert abs(sor[(a, b)] - 2 * isect / (da + db)) < 1e-12
+
+
+def test_jaccard_explicit_pairs(spark):
+    edges = make_edges("triangle_mesh")
+    G = Graph(edges_df(spark, edges), directed=False)
+    pairs = spark.createDataFrame([(0, 1), (4, 0)], "u long, v long")
+    got = {(r["first"], r["second"]): r["jaccard_coeff"] for r in jaccard(G, pairs).collect()}
+    ref = jaccard_ref(sym_tuples(edges))
+    isect, da, db = ref[(0, 1)]
+    assert abs(got[(0, 1)] - isect / (da + db - isect)) < 1e-12
+    i2, d4a, d4b = ref[(0, 4)]  # 0 and 4 share neighbor 3
+    assert abs(got[(0, 4)] - i2 / (d4a + d4b - i2)) < 1e-12
