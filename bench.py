@@ -1,0 +1,161 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
+
+    {"metric": ..., "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...,
+     "pagerank_edges_per_sec_per_superstep": ..., ...}
+
+Headline set (the north-rule metrics + pipeline representatives):
+- pagerank_cs10: 10 fixed supersteps on the customer→supplier graph
+  (the edges/sec-per-superstep metric input);
+- pagerank_rmat16: same on a seeded power-law RMAT scale-16 graph
+  (hub-skew regime, ~1M edges);
+- wcc_cs: full convergence, symmetrized purchase graph;
+- lpa_cs5: 5 supersteps label propagation;
+- tc_rmat14: full per-vertex triangle count on RMAT scale-14;
+- bfs_cs: frontier BFS from one customer;
+- minhash_docs: MinHash-LSH near-dup pipeline over documents;
+- cosine_top1: brute-force nearest neighbor over embeddings;
+- text_scan: language-ID + quality + token counting single-pass scan.
+
+Set SPARK_GRAFT_BENCH_ONLY=name1,name2 to run a subset (used by the
+two-parallelism scaling harness, tools/bench_scaling.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from cugraph_spark.graph import Graph, symmetrize  # noqa: E402
+from cugraph_spark.operators.pagerank import pagerank  # noqa: E402
+from cugraph_spark.operators.wcc import weakly_connected_components  # noqa: E402
+from cugraph_spark.operators.label_propagation import label_propagation  # noqa: E402
+from cugraph_spark.operators.triangle_count import triangle_count  # noqa: E402
+from cugraph_spark.operators.traversal import bfs  # noqa: E402
+from cugraph_spark.functions.dedup import minhash_dedup_pairs  # noqa: E402
+from cugraph_spark.functions.ann import cosine_topk_bruteforce  # noqa: E402
+from cugraph_spark.functions.text import language_id, quality_score, token_count  # noqa: E402
+from cugraph_spark.queries import edges_cs  # noqa: E402
+from cugraph_spark.session import get_spark  # noqa: E402
+from cugraph_spark.sources.rmat import rmat_edges  # noqa: E402
+
+PR_SUPERSTEPS = 10
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    only = set(only.split(",")) if only else None
+    spark = get_spark(app_name="cugraph_spark_bench")
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def run(name, fn):
+        if only and name not in only:
+            return
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # shared inputs (built outside the timed sections)
+    e_cs = edges_cs(spark, sf_dir).persist()
+    n_edges_cs = e_cs.count()
+
+    def _pagerank_cs():
+        G = Graph(e_cs, directed=True, weighted=True)
+        pagerank(G, alpha=0.85, tol=0.0, max_iter=PR_SUPERSTEPS).count()
+
+    run("pagerank_cs10", _pagerank_cs)
+    if "pagerank_cs10" in timings:
+        extras["pagerank_edges_per_sec_per_superstep"] = round(
+            n_edges_cs * PR_SUPERSTEPS / timings["pagerank_cs10"], 1
+        )
+        extras["n_edges_cs"] = n_edges_cs
+
+    if only is None or "pagerank_rmat16" in only or "tc_rmat14" in only:
+        e_rmat = rmat_edges(spark, scale=16, edgefactor=16, seed=42).persist()
+        n_edges_rmat = e_rmat.count()
+
+        def _pagerank_rmat():
+            G = Graph(e_rmat, directed=True, weighted=True)
+            pagerank(G, alpha=0.85, tol=0.0, max_iter=PR_SUPERSTEPS).count()
+
+        run("pagerank_rmat16", _pagerank_rmat)
+        if "pagerank_rmat16" in timings:
+            extras["rmat_edges_per_sec_per_superstep"] = round(
+                n_edges_rmat * PR_SUPERSTEPS / timings["pagerank_rmat16"], 1
+            )
+
+        def _tc_rmat():
+            e14 = rmat_edges(spark, scale=14, edgefactor=8, seed=42)
+            G = Graph(e14, directed=False, weighted=False)
+            triangle_count(G).agg(F.sum("counts")).collect()
+
+        run("tc_rmat14", _tc_rmat)
+
+    def _wcc():
+        G = Graph(e_cs, directed=False, weighted=True)
+        weakly_connected_components(G).count()
+
+    run("wcc_cs", _wcc)
+
+    def _lpa():
+        G = Graph(e_cs, directed=False, weighted=True)
+        label_propagation(G, max_iter=5).count()
+
+    run("lpa_cs5", _lpa)
+
+    def _bfs():
+        G = Graph(symmetrize(e_cs), directed=True, weighted=True)
+        bfs(G, source=1).count()
+
+    run("bfs_cs", _bfs)
+
+    def _minhash():
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        minhash_dedup_pairs(docs, threshold=0.5).count()
+
+    run("minhash_docs", _minhash)
+
+    def _cos():
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        cosine_topk_bruteforce(emb, emb, k=1).count()
+
+    run("cosine_top1", _cos)
+
+    def _text():
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        out = language_id(docs)
+        out = quality_score(out)
+        out = token_count(out)
+        out.agg(
+            F.count("*"), F.avg("quality"), F.sum("n_tokens"),
+            F.count_distinct("lang_pred"),
+        ).collect()
+
+    run("text_scan", _text)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_suite_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
+        **extras,
+    }))
+
+
+if __name__ == "__main__":
+    main()

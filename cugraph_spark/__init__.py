@@ -29,5 +29,18 @@ from .operators.centrality import (  # noqa: F401
 from .operators.traversal import bfs, k_hop_neighbors, sssp  # noqa: F401
 from .operators.cores import core_number, k_core  # noqa: F401
 from .operators.similarity import jaccard, overlap, sorensen  # noqa: F401
+from .operators.sampling import (  # noqa: F401
+    node2vec_walks,
+    random_walks,
+    uniform_neighbor_sample,
+)
+from .operators.community import (  # noqa: F401
+    coarsen_graph,
+    ego_graph,
+    k_truss,
+    louvain,
+    modularity,
+)
+from .operators.tree import minimum_spanning_tree  # noqa: F401
 
 __version__ = "0.1.0"

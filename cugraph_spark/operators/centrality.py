@@ -70,17 +70,17 @@ def hits(
             .agg(F.sum("authorities").alias("h"))
         )
         hsum = hub_raw.agg(F.sum("h")).first()[0] or 1.0
-        new_state = verts.join(hub_raw, verts["vertex"] == hub_raw[SRC], "left").select(
-            verts["vertex"],
+        new_full = state.join(hub_raw, state["vertex"] == hub_raw[SRC], "left").select(
+            state["vertex"],
             (F.coalesce("h", F.lit(0.0)) / F.lit(hsum)).alias("hubs"),
-        ).repartition(P, "vertex").localCheckpoint(eager=False)
+            state["hubs"].alias("old"),
+        ).localCheckpoint(eager=False)
 
         diff = (
-            new_state.join(state.select("vertex", F.col("hubs").alias("old")), "vertex")
-            .agg(F.sum(F.abs(F.col("hubs") - F.col("old"))).alias("d"))
+            new_full.agg(F.sum(F.abs(F.col("hubs") - F.col("old"))).alias("d"))
             .first()["d"]
         )
-        state = new_state
+        state = new_full.select("vertex", "hubs")
         last_auth = auth
         if diff is not None and diff < tol:
             break
@@ -112,16 +112,16 @@ def katz_centrality(
             .groupBy(DST)
             .agg(F.sum(F.col("c") * F.col(WGT)).alias("s"))
         )
-        new_state = verts.join(agg, verts["vertex"] == agg[DST], "left").select(
-            verts["vertex"],
+        new_full = state.join(agg, state["vertex"] == agg[DST], "left").select(
+            state["vertex"],
             (F.lit(beta) + F.lit(alpha) * F.coalesce("s", F.lit(0.0))).alias("c"),
-        ).repartition(P, "vertex").localCheckpoint(eager=False)
+            state["c"].alias("old"),
+        ).localCheckpoint(eager=False)
         diff = (
-            new_state.join(state.select("vertex", F.col("c").alias("old")), "vertex")
-            .agg(F.sum(F.abs(F.col("c") - F.col("old"))).alias("d"))
+            new_full.agg(F.sum(F.abs(F.col("c") - F.col("old"))).alias("d"))
             .first()["d"]
         )
-        state = new_state
+        state = new_full.select("vertex", "c")
         if diff is not None and diff < tol * V:
             break
 
@@ -151,22 +151,19 @@ def eigenvector_centrality(
             .groupBy(DST)
             .agg(F.sum(F.col("c") * F.col(WGT)).alias("s"))
         )
-        raw = verts.join(agg, verts["vertex"] == agg[DST], "left").select(
-            verts["vertex"], F.coalesce("s", F.lit(0.0)).alias("c")
+        raw = state.join(agg, state["vertex"] == agg[DST], "left").select(
+            state["vertex"], F.coalesce("s", F.lit(0.0)).alias("c"),
+            state["c"].alias("old"),
         ).localCheckpoint(eager=False)
         norm = raw.agg(F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("n")).first()["n"]
         if not norm:
-            state = raw
+            state = raw.select("vertex", "c")
             break
-        new_state = raw.select(
-            "vertex", (F.col("c") / F.lit(norm)).alias("c")
-        ).repartition(P, "vertex").localCheckpoint(eager=False)
         diff = (
-            new_state.join(state.select("vertex", F.col("c").alias("old")), "vertex")
-            .agg(F.sum(F.abs(F.col("c") - F.col("old"))).alias("d"))
+            raw.agg(F.sum(F.abs(F.col("c") / F.lit(norm) - F.col("old"))).alias("d"))
             .first()["d"]
         )
-        state = new_state
+        state = raw.select("vertex", (F.col("c") / F.lit(norm)).alias("c"))
         if diff is not None and diff < tol * V:
             break
 

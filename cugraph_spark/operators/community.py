@@ -1,0 +1,245 @@
+"""Community — modularity scoring, one-level Louvain, ego graphs,
+k-truss, coarsening.
+
+Reference surface:
+- Louvain (``community/louvain_impl.cuh``, 364 LoC): repeated
+  modularity-gain label moves + graph coarsening
+  (``structure/coarsen_graph_impl.cuh``). We implement the same
+  structure Spark-first: synchronous best-gain moves (deterministic
+  tie-break) per level, then ``coarsen_graph`` contraction, looping
+  levels until modularity stops improving.
+- modularity (``community/detail``): Q = Σ_c (in_c/2m − γ·(deg_c/2m)²).
+- Ego graph (``community/egonet_impl.cuh``, 268 LoC): k-hop ball around
+  seeds + induced subgraph.
+- K-truss (``community/k_truss_impl.cuh``, 937 LoC): iterated removal
+  of edges with triangle-support < k−2.
+
+Scale notes: every level of Louvain is the standard gather-scatter
+superstep + one coarsening groupBy; k-truss iterations reuse the
+oriented edge_triangle_count join (√E fan-out bound).
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..graph import DST, SRC, WGT, Graph
+from .triangle_count import edge_triangle_count
+
+
+def coarsen_graph(G: Graph, labels: DataFrame) -> DataFrame:
+    """Contract vertices by label (``coarsen_graph_impl.cuh``): join
+    labels onto both endpoints, sum parallel edge weights. Returns a
+    coarsened edge DataFrame (src=dst self-edges kept — they carry the
+    intra-community weight Louvain needs)."""
+    lab = labels.select(F.col("vertex").alias("v"), F.col("labels").alias("l"))
+    return (
+        G.edges.join(lab.withColumnRenamed("v", SRC), SRC)
+        .withColumnRenamed("l", "src_l")
+        .join(lab.withColumnRenamed("v", DST), DST)
+        .withColumnRenamed("l", "dst_l")
+        .groupBy(F.col("src_l").alias(SRC), F.col("dst_l").alias(DST))
+        .agg(F.sum(WGT).alias(WGT))
+    )
+
+
+def modularity(G: Graph, labels: DataFrame, resolution: float = 1.0) -> float:
+    """Q = Σ_c [ in_c/(2m) − γ·(deg_c/(2m))² ] over the symmetrized
+    edge list (each undirected edge appears in both directions, so
+    2m = Σ weight and in_c counts both directions)."""
+    if G.directed:
+        raise ValueError("modularity requires an undirected graph")
+    lab = labels.select(F.col("vertex").alias("v"), F.col("labels").alias("l"))
+    e = (
+        G.edges.join(lab.withColumnRenamed("v", SRC), SRC)
+        .withColumnRenamed("l", "src_l")
+        .join(lab.withColumnRenamed("v", DST), DST)
+        .withColumnRenamed("l", "dst_l")
+    )
+    two_m = e.agg(F.sum(WGT)).first()[0]
+    if not two_m:
+        return 0.0
+    per_c = e.groupBy("src_l").agg(
+        F.sum(F.when(F.col("src_l") == F.col("dst_l"), F.col(WGT)).otherwise(0.0)).alias("in_c"),
+        F.sum(WGT).alias("deg_c"),
+    )
+    row = per_c.agg(
+        F.sum(F.col("in_c") / F.lit(two_m)).alias("a"),
+        F.sum(F.pow(F.col("deg_c") / F.lit(two_m), F.lit(2.0))).alias("b"),
+    ).first()
+    return float(row["a"] - resolution * row["b"])
+
+
+def louvain(
+    G: Graph,
+    max_levels: int = 10,
+    max_iter_per_level: int = 10,
+    resolution: float = 1.0,
+    min_gain: float = 1.0e-7,
+) -> tuple[DataFrame, float]:
+    """One-pass-per-level Louvain (louvain_impl.cuh structure):
+    synchronous best-modularity-gain moves with deterministic min-label
+    tie-break, then coarsen; levels until Q stops improving.
+    Returns ([vertex, labels], final modularity)."""
+    if G.directed:
+        raise ValueError("louvain requires an undirected graph")
+
+    spark = G.edges.sparkSession
+    # running assignment original vertex -> community
+    assignment = G.vertices().withColumn("labels", F.col("vertex"))
+    cur_edges = G.edges
+    best_q = modularity(G, assignment, resolution)
+
+    for _level in range(max_levels):
+        edges = cur_edges.persist(StorageLevel.MEMORY_AND_DISK)
+        two_m = edges.agg(F.sum(WGT)).first()[0]
+        if not two_m:
+            edges.unpersist()
+            break
+        verts = (
+            edges.select(F.col(SRC).alias("vertex"))
+            .unionByName(edges.select(F.col(DST).alias("vertex")))
+            .distinct()
+        )
+        k = edges.groupBy(F.col(SRC).alias("vertex")).agg(F.sum(WGT).alias("k"))
+        state = (
+            verts.join(k, "vertex", "left")
+            .select("vertex", F.coalesce("k", F.lit(0.0)).alias("k"),
+                    F.col("vertex").alias("labels"))
+            .localCheckpoint(eager=False)
+        )
+
+        for _ in range(max_iter_per_level):
+            # community volumes Σ_tot
+            sigma = (
+                state.groupBy("labels").agg(F.sum("k").alias("sigma"))
+                .withColumnRenamed("labels", "sig_l")
+            )
+            lab = state.select(F.col("vertex").alias("nv"), F.col("labels").alias("nl"))
+            # per (vertex, neighbor community): Σ weight into that community
+            knc = (
+                edges.filter(F.col(SRC) != F.col(DST))
+                .join(lab, F.col(DST) == F.col("nv"))
+                .groupBy(F.col(SRC).alias("vertex"), F.col("nl").alias("cand"))
+                .agg(F.sum(WGT).alias("k_in"))
+            )
+            # gain ∝ k_in − γ·k_v·(σ_cand \ v)/2m ; staying counts too.
+            # All columns renamed to unique names before the joins —
+            # knc/sigma both descend from `state`, so attribute
+            # references would be ambiguous self-join refs.
+            stt = state.select(
+                "vertex", F.col("k").alias("k_v"), F.col("labels").alias("cur")
+            )
+            scored = (
+                knc.join(stt, "vertex")
+                .join(sigma, F.col("cand") == F.col("sig_l"))
+                .select(
+                    "vertex", "cand", "cur",
+                    (
+                        F.col("k_in")
+                        - F.lit(resolution) * F.col("k_v")
+                        * (F.col("sigma") - F.when(F.col("cand") == F.col("cur"), F.col("k_v")).otherwise(0.0))
+                        / F.lit(two_m)
+                    ).alias("gain"),
+                )
+            )
+            best = scored.groupBy("vertex").agg(
+                F.max(F.struct(F.col("gain"), (-F.col("cand")).alias("nc"))).alias("m")
+            ).select(
+                "vertex",
+                (-F.col("m.nc")).alias("new_label"),
+                F.col("m.gain").alias("best_gain"),
+            )
+            new_state = (
+                state.join(best, "vertex", "left")
+                .select(
+                    "vertex", "k",
+                    F.when(
+                        F.col("best_gain") > F.lit(min_gain), F.col("new_label")
+                    ).otherwise(F.col("labels")).alias("labels"),
+                    state["labels"].alias("old"),
+                )
+                .localCheckpoint(eager=False)
+            )
+            changed = new_state.agg(
+                F.sum(F.when(F.col("labels") != F.col("old"), 1).otherwise(0))
+            ).first()[0]
+            state = new_state.select("vertex", "k", "labels")
+            if not changed:
+                break
+
+        # push level labels down to original vertices
+        level_lab = state.select(F.col("vertex").alias("lv"), F.col("labels").alias("ll"))
+        assignment = (
+            assignment.join(level_lab, assignment["labels"] == level_lab["lv"])
+            .select(assignment["vertex"], F.col("ll").alias("labels"))
+            .localCheckpoint(eager=False)
+        )
+        q = modularity(G, assignment, resolution)
+        coarse = coarsen_graph(
+            _as_graph(cur_edges, G), state.select("vertex", "labels")
+        )
+        edges.unpersist()
+        if q <= best_q + min_gain:
+            best_q = max(q, best_q)
+            break
+        best_q = q
+        cur_edges = coarse
+
+    return assignment.select("vertex", "labels"), best_q
+
+
+def _as_graph(edges: DataFrame, like: Graph) -> Graph:
+    g = Graph.__new__(Graph)
+    g.edges = edges
+    g.directed = like.directed
+    g.weighted = like.weighted
+    g.mapping = None
+    return g
+
+
+def ego_graph(G: Graph, seeds: DataFrame, radius: int = 1) -> DataFrame:
+    """Batched ego networks (``egonet_impl.cuh``): for each seed, the
+    induced edge set of its ≤radius-hop ball. Returns
+    [seed, src, dst, weight]."""
+    from .traversal import k_hop_neighbors
+
+    ball = k_hop_neighbors(G, seeds, radius)  # [start_vertex, nbr]
+    e = G.edges
+    return (
+        ball.alias("a")
+        .join(e, F.col("a.nbr") == e[SRC])
+        .join(
+            ball.alias("b"),
+            (F.col("b.start_vertex") == F.col("a.start_vertex"))
+            & (F.col("b.nbr") == e[DST]),
+        )
+        .select(
+            F.col("a.start_vertex").alias("seed"), e[SRC], e[DST], e[WGT]
+        )
+        .distinct()
+    )
+
+
+def k_truss(G: Graph, k: int, max_iter: int = 100) -> DataFrame:
+    """Maximal subgraph where every edge supports ≥ k−2 triangles
+    (``k_truss_impl.cuh``): iterate edge_triangle_count → drop weak
+    edges → recount, until stable. Returns the surviving undirected
+    edge list [src, dst] (src < dst)."""
+    if G.directed:
+        raise ValueError("k_truss requires an undirected graph")
+    cur = G
+    for _ in range(max_iter):
+        etc = edge_triangle_count(cur)
+        keep = etc.filter(F.col("counts") >= k - 2).select(SRC, DST)
+        n_before = cur.edges.filter(F.col(SRC) < F.col(DST)).count()
+        n_after = keep.count()
+        sym = keep.unionByName(
+            keep.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
+        ).withColumn(WGT, F.lit(1.0))
+        cur = _as_graph(sym.localCheckpoint(eager=False), G)
+        if n_after == n_before:
+            break
+    return cur.edges.filter(F.col(SRC) < F.col(DST)).select(SRC, DST)

@@ -79,28 +79,26 @@ def label_propagation(
             F.max(F.struct(F.col("w"), (-F.col("cand")).alias("neg"))).alias("m")
         ).select(F.col(DST), (-F.col("m.neg")).alias("new_label"))
 
-        new_state = (
+        # old label carried through → changed-count without a second join
+        new_full = (
             state.join(best, state["vertex"] == best[DST], "left")
             .select(
                 state["vertex"],
                 F.coalesce("new_label", state["labels"]).alias("labels"),
+                state["labels"].alias("old"),
             )
-            .repartition(P, "vertex")
             .localCheckpoint(eager=False)
         )
 
         changed = (
-            new_state.join(
-                state.select("vertex", F.col("labels").alias("old")), "vertex"
-            )
-            .agg(
+            new_full.agg(
                 F.sum(
                     F.when(F.col("labels") != F.col("old"), 1).otherwise(0)
                 ).alias("c")
             )
             .first()["c"]
         )
-        state = new_state
+        state = new_full.select("vertex", "labels")
 
         if checkpoint is not None and checkpoint_every and (it + 1) % checkpoint_every == 0:
             state = checkpoint.save(

@@ -189,43 +189,40 @@ def pagerank(
                 .agg(F.sum(rank_div["rank_div"] * edges[WGT]).alias("contrib"))
             )
 
+        # state update joins contribs against the PREVIOUS state (which
+        # already carries the old rank), so the L1 convergence diff needs
+        # no second join — one plan, one action per superstep.
+        base = state.join(contribs, state["vertex"] == contribs[DST], "left")
         if pers is None:
             unvarying = (dangling * alpha + (1.0 - alpha)) / V
-            new_state = (
-                vstate.join(contribs, vstate["vertex"] == contribs[DST], "left")
-                .select(
-                    vstate["vertex"], "ows",
-                    (F.lit(alpha) * F.coalesce("contrib", F.lit(0.0)) + F.lit(unvarying)
-                     ).alias("rank"))
-            )
+            new_rank = F.lit(alpha) * F.coalesce("contrib", F.lit(0.0)) + F.lit(unvarying)
         else:
             pmass = dangling * alpha + (1.0 - alpha)
-            new_state = (
-                vstate.join(contribs, vstate["vertex"] == contribs[DST], "left")
-                .join(pers, "vertex", "left")
-                .select(
-                    vstate["vertex"], "ows",
-                    (F.lit(alpha) * F.coalesce("contrib", F.lit(0.0))
-                     + F.lit(pmass) * F.coalesce("pnorm", F.lit(0.0))).alias("rank"))
+            base = base.join(pers, state["vertex"] == pers["vertex"], "left")
+            new_rank = (
+                F.lit(alpha) * F.coalesce("contrib", F.lit(0.0))
+                + F.lit(pmass) * F.coalesce("pnorm", F.lit(0.0))
             )
+        new_full = base.select(
+            state["vertex"].alias("vertex"),
+            state["ows"].alias("ows"),
+            new_rank.alias("rank"),
+            state["rank"].alias("old_rank"),
+        )
         # localCheckpoint truncates lineage so superstep N's plan does not
         # re-analyze supersteps 0..N-1 (SURVEY.md §7.3.1) — the lazy variant
         # materializes inside the convergence action below (one job/superstep).
-        new_state = new_state.repartition(P, "vertex").localCheckpoint(eager=False)
+        new_full = new_full.localCheckpoint(eager=False)
 
         # one action per superstep: L1 diff + next dangling sum together
         # (the host_scalar_allreduce analog, pagerank_impl.cuh:239-248,321-330)
-        row = (
-            new_state.join(state.select("vertex", F.col("rank").alias("old_rank")), "vertex")
-            .agg(
-                F.sum(F.abs(F.col("rank") - F.col("old_rank"))).alias("l1"),
-                F.sum(F.when(F.col("ows") == 0.0, F.col("rank")).otherwise(F.lit(0.0))
-                      ).alias("dang"),
-            )
-            .first()
-        )
+        row = new_full.agg(
+            F.sum(F.abs(F.col("rank") - F.col("old_rank"))).alias("l1"),
+            F.sum(F.when(F.col("ows") == 0.0, F.col("rank")).otherwise(F.lit(0.0))
+                  ).alias("dang"),
+        ).first()
         l1, dangling = float(row["l1"]), float(row["dang"] or 0.0)
-        state = new_state
+        state = new_full.select("vertex", "ows", "rank")
 
         if checkpoint is not None and checkpoint_every and (it + 1) % checkpoint_every == 0:
             state = checkpoint.save(

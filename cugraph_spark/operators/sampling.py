@@ -1,0 +1,195 @@
+"""Sampling — uniform random walks, node2vec-biased walks, uniform
+neighbor sampling.
+
+Reference surface:
+- ``sampling/random_walks_impl.cuh`` (512 LoC) / python
+  ``sampling/random_walks.py``: fixed-length uniform random walks from
+  a start-vertex list; returns (vertex_paths, edge_weight_paths).
+- ``sampling/node2vec_impl.cuh`` / ``sampling/node2vec.py``: p/q-biased
+  second-order walks.
+- ``sampling/uniform_neighbor_sample_impl.hpp``: per-seed fan-out
+  sampling for GNN mini-batches.
+
+Spark-first determinism: the reference seeds a device RNG; we need
+runs to be reproducible *across partitionings and cluster sizes*, so
+every random draw is a counter-based hash ``xxhash64(walk_id, step,
+seed)`` (same idiom as the RMAT generator) — no RNG state anywhere.
+Each step is one join: walks-at-frontier ⋈ out-edges on the current
+vertex, pick the neighbor whose rank matches the draw via
+``row_number`` over (walk, neighbor order). Walk state stays O(#walks)
+per step; the edge side is partitioned once.
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..graph import DST, SRC, WGT, Graph
+
+
+def random_walks(
+    G: Graph,
+    start_vertices: DataFrame,
+    max_depth: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Uniform random walks of length ≤ max_depth edges.
+
+    Returns ``[walk_id, step, vertex]`` (step 0 = start vertex). Walks
+    stop early at sinks (no out-edges), like the reference's padded
+    walks minus the padding.
+    """
+    edges = G.edges.select(SRC, DST).persist(StorageLevel.MEMORY_AND_DISK)
+    deg = edges.groupBy(SRC).agg(F.count("*").alias("deg"))
+    w = Window.partitionBy(SRC).orderBy(DST)
+    ranked = (
+        edges.join(deg, SRC)
+        .withColumn("rnk", F.row_number().over(w))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    walks = start_vertices.select(
+        F.monotonically_increasing_id().alias("walk_id"),
+        F.col(start_vertices.columns[0]).alias("vertex"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    out = walks.select("walk_id", F.lit(0).alias("step"), "vertex")
+    frontier = walks
+
+    for step in range(1, max_depth + 1):
+        # draw ∈ [0, deg): counter-based, partitioning-invariant
+        draw = F.pmod(
+            F.xxhash64(F.col("walk_id"), F.lit(step), F.lit(seed)), F.col("deg")
+        )
+        nxt = (
+            frontier.join(ranked, frontier["vertex"] == ranked[SRC])
+            .filter(F.col("rnk") - 1 == draw)
+            .select("walk_id", F.col(DST).alias("vertex"))
+            .localCheckpoint(eager=False)
+        )
+        if nxt.isEmpty():
+            break
+        out = out.unionByName(
+            nxt.select("walk_id", F.lit(step).alias("step"), "vertex")
+        )
+        frontier = nxt
+
+    result = out.localCheckpoint(eager=False)
+    edges.unpersist()
+    ranked.unpersist()
+    walks.unpersist()
+    return result
+
+
+def node2vec_walks(
+    G: Graph,
+    start_vertices: DataFrame,
+    max_depth: int,
+    p: float = 1.0,
+    q: float = 1.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Second-order (p/q-biased) walks, node2vec semantics
+    (``sampling/node2vec_impl.cuh``): unnormalized weight of stepping
+    t→v→x is w(v,x)·(1/p if x==t; 1 if x~t; 1/q otherwise). Returns
+    [walk_id, step, vertex]. Draws are counter-based-deterministic via
+    inverse-CDF over the cumulative bias within each (walk, v) group."""
+    edges = G.edges.select(SRC, DST, WGT).persist(StorageLevel.MEMORY_AND_DISK)
+    adj_flag = edges.select(
+        F.col(SRC).alias("t_"), F.col(DST).alias("x_"), F.lit(1).alias("is_nbr")
+    ).distinct()
+
+    walks = start_vertices.select(
+        F.monotonically_increasing_id().alias("walk_id"),
+        F.col(start_vertices.columns[0]).alias("vertex"),
+        F.lit(None).cast("long").alias("prev"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    out = walks.select("walk_id", F.lit(0).alias("step"), "vertex")
+    frontier = walks
+
+    for step in range(1, max_depth + 1):
+        cand = (
+            frontier.join(edges, frontier["vertex"] == edges[SRC])
+            .join(
+                adj_flag,
+                (F.col("prev") == F.col("t_")) & (edges[DST] == F.col("x_")),
+                "left",
+            )
+            .select(
+                "walk_id",
+                frontier["vertex"].alias("cur"),
+                edges[DST].alias("nxt"),
+                (
+                    F.col(WGT)
+                    * F.when(edges[DST] == F.col("prev"), F.lit(1.0 / p))
+                    .when(F.col("is_nbr").isNotNull(), F.lit(1.0))
+                    .otherwise(F.lit(1.0 / q))
+                ).alias("bias"),
+            )
+        )
+        w = Window.partitionBy("walk_id").orderBy("nxt")
+        wall = Window.partitionBy("walk_id")
+        scored = (
+            cand.withColumn("cum", F.sum("bias").over(w))
+            .withColumn("tot", F.sum("bias").over(wall))
+            .withColumn(
+                "u",
+                (F.pmod(F.xxhash64("walk_id", F.lit(step), F.lit(seed)), F.lit(1 << 31))
+                 / F.lit(float(1 << 31))) * F.col("tot"),
+            )
+        )
+        nxt = (
+            scored.filter(F.col("cum") - F.col("bias") <= F.col("u"))
+            .filter(F.col("u") < F.col("cum"))
+            .select("walk_id", F.col("nxt").alias("vertex"), F.col("cur").alias("prev"))
+            .localCheckpoint(eager=False)
+        )
+        if nxt.isEmpty():
+            break
+        out = out.unionByName(
+            nxt.select("walk_id", F.lit(step).alias("step"), "vertex")
+        )
+        frontier = nxt
+
+    result = out.localCheckpoint(eager=False)
+    edges.unpersist()
+    walks.unpersist()
+    return result
+
+
+def uniform_neighbor_sample(
+    G: Graph,
+    start_vertices: DataFrame,
+    fanout: list[int],
+    seed: int = 42,
+    with_replacement: bool = False,
+) -> DataFrame:
+    """GNN-style layered neighbor sampling
+    (``uniform_neighbor_sample_impl.hpp``): per hop h, sample up to
+    fanout[h] out-edges per frontier vertex. Returns
+    [src, dst, weight, hop]. Without replacement: rank neighbors by a
+    per-(vertex,hop,seed) hash and keep the top fanout — vectorized,
+    deterministic, partitioning-invariant."""
+    edges = G.edges.select(SRC, DST, WGT).persist(StorageLevel.MEMORY_AND_DISK)
+    frontier = start_vertices.select(
+        F.col(start_vertices.columns[0]).alias("v")
+    ).distinct()
+    samples = None
+    for hop, k in enumerate(fanout):
+        cand = edges.join(frontier, edges[SRC] == frontier["v"]).select(SRC, DST, WGT)
+        w = Window.partitionBy(SRC).orderBy(
+            F.xxhash64(F.col(SRC), F.col(DST), F.lit(hop), F.lit(seed))
+        )
+        picked = (
+            cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select(SRC, DST, WGT, F.lit(hop).alias("hop"))
+            .localCheckpoint(eager=False)
+        )
+        samples = picked if samples is None else samples.unionByName(picked)
+        frontier = picked.select(F.col(DST).alias("v")).distinct()
+    edges.unpersist()
+    return samples if samples is not None else G.edges.limit(0).withColumn(
+        "hop", F.lit(0)
+    )

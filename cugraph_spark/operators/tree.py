@@ -1,0 +1,107 @@
+"""Minimum spanning tree/forest — distributed Borůvka.
+
+Reference: ``tree/legacy/mst.cu`` (single-GPU Borůvka); python wrapper
+``tree/minimum_spanning_tree.py`` returns the MST edge list of an
+undirected weighted graph.
+
+Spark-first Borůvka: each round every component picks its minimum
+outgoing edge (deterministic tie-break on (weight, src, dst)), the
+picked edges merge components via hash-min label propagation on the
+contracted component graph, and rounds repeat until no cross-component
+edge remains — O(log V) rounds, each a groupBy + small fixpoint.
+Result is the classic MSF (forest if disconnected).
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..graph import DST, SRC, WGT, Graph
+
+
+def minimum_spanning_tree(G: Graph, max_rounds: int = 64) -> DataFrame:
+    """Returns the MSF edge list [src, dst, weight] (src < dst) of the
+    undirected graph; deterministic for ties via (weight, src, dst)
+    lexicographic minimum."""
+    if G.directed:
+        raise ValueError("minimum_spanning_tree requires an undirected graph")
+    und = (
+        G.edges.filter(F.col(SRC) < F.col(DST))
+        .groupBy(SRC, DST)
+        .agg(F.min(WGT).alias(WGT))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    comp = (
+        und.select(F.col(SRC).alias("vertex"))
+        .unionByName(und.select(F.col(DST).alias("vertex")))
+        .distinct()
+        .withColumn("c", F.col("vertex"))
+        .localCheckpoint(eager=False)
+    )
+    chosen = None
+
+    for _ in range(max_rounds):
+        lab = comp.select(F.col("vertex").alias("v"), F.col("c"))
+        e = (
+            und.join(lab.withColumnRenamed("v", SRC).withColumnRenamed("c", "c_src"), SRC)
+            .join(lab.withColumnRenamed("v", DST).withColumnRenamed("c", "c_dst"), DST)
+            .filter(F.col("c_src") != F.col("c_dst"))
+        )
+        if e.isEmpty():
+            break
+        # min outgoing edge per component (both directions considered)
+        cand = (
+            e.select(F.col("c_src").alias("comp"), SRC, DST, WGT)
+            .unionByName(e.select(F.col("c_dst").alias("comp"), SRC, DST, WGT))
+        )
+        picked = (
+            cand.groupBy("comp")
+            .agg(F.min(F.struct(WGT, SRC, DST)).alias("m"))
+            .select(F.col("m." + SRC).alias(SRC), F.col("m." + DST).alias(DST),
+                    F.col("m." + WGT).alias(WGT))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        chosen = picked if chosen is None else chosen.unionByName(picked).distinct()
+        chosen = chosen.localCheckpoint(eager=False)
+
+        # merge components: hash-min over the picked component-pairs
+        pe = (
+            picked.join(lab.withColumnRenamed("v", SRC).withColumnRenamed("c", "a"), SRC)
+            .join(lab.withColumnRenamed("v", DST).withColumnRenamed("c", "b"), DST)
+            .select("a", "b")
+        )
+        pe_sym = pe.unionByName(pe.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        relabel = comp.select(F.col("c").alias("node")).distinct().withColumn("lbl", F.col("node"))
+        for _ in range(max_rounds):
+            mins = (
+                pe_sym.join(relabel, pe_sym["a"] == relabel["node"])
+                .groupBy("b").agg(F.min("lbl").alias("nm"))
+            )
+            new_rel = (
+                relabel.join(mins, relabel["node"] == mins["b"], "left")
+                .select(
+                    relabel["node"],
+                    F.least(relabel["lbl"], F.coalesce("nm", relabel["lbl"])).alias("lbl"),
+                    relabel["lbl"].alias("old"),
+                )
+                .localCheckpoint(eager=False)
+            )
+            ch = new_rel.agg(
+                F.sum(F.when(F.col("lbl") != F.col("old"), 1).otherwise(0))
+            ).first()[0]
+            relabel = new_rel.select("node", "lbl")
+            if not ch:
+                break
+        comp = (
+            comp.join(relabel, comp["c"] == relabel["node"])
+            .select(comp["vertex"], F.col("lbl").alias("c"))
+            .localCheckpoint(eager=False)
+        )
+
+    und.unpersist()
+    if chosen is None:
+        return G.edges.limit(0).select(SRC, DST, WGT)
+    return chosen.select(SRC, DST, WGT)

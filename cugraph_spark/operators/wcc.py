@@ -85,6 +85,9 @@ def weakly_connected_components(
             .groupBy(DST)
             .agg(F.min("labels").alias("nbr_min"))
         )
+        # carry the old label through so the changed-count needs no extra
+        # join; checkpoint `lowered` so the pointer-jump self-join reads
+        # one materialized RDD instead of recomputing the mins join twice
         lowered = (
             state.join(mins, state["vertex"] == mins[DST], "left")
             .select(
@@ -92,7 +95,9 @@ def weakly_connected_components(
                 F.least(
                     state["labels"], F.coalesce("nbr_min", state["labels"])
                 ).alias("labels"),
+                state["labels"].alias("old"),
             )
+            .localCheckpoint(eager=False)
         )
         # pointer jump: labels ← labels(labels) — contraction-level analog
         lab = lowered.select(
@@ -103,23 +108,20 @@ def weakly_connected_components(
             .select(
                 lowered["vertex"],
                 F.coalesce("ll", lowered["labels"]).alias("labels"),
+                lowered["old"],
             )
-            .repartition(P, "vertex")
             .localCheckpoint(eager=False)
         )
 
         changed = (
-            jumped.join(
-                state.select("vertex", F.col("labels").alias("old")), "vertex"
-            )
-            .agg(
+            jumped.agg(
                 F.sum(
                     F.when(F.col("labels") != F.col("old"), 1).otherwise(0)
                 ).alias("c")
             )
             .first()["c"]
         )
-        state = jumped
+        state = jumped.select("vertex", "labels")
 
         if checkpoint is not None and checkpoint_every and (it + 1) % checkpoint_every == 0:
             state = checkpoint.save(

@@ -636,6 +636,55 @@ def q_embedding_lsh_buckets(spark, sf_dir):  # rows-only (hash planes)
     return lsh_bucket(emb, n_planes=8).select("vec_id", "lsh_bucket")
 
 
+# ------------------------------- community / sampling / tree (rows-only)
+
+def q_louvain(spark, sf_dir):
+    from .operators.community import louvain
+
+    e = edges_nation(spark, sf_dir)
+    G = Graph(e, directed=False, weighted=True)
+    labels, _q = louvain(G)
+    return labels
+
+
+def q_mst(spark, sf_dir):
+    from .operators.tree import minimum_spanning_tree
+
+    e = edges_nation(spark, sf_dir)
+    G = Graph(e, directed=False, weighted=True)
+    return minimum_spanning_tree(G).select(
+        "src", "dst", (F.round("weight", 6) + F.lit(0.0)).alias("weight")
+    )
+
+
+def q_k_truss(spark, sf_dir):
+    from .operators.community import k_truss
+
+    e = edges_nation(spark, sf_dir)
+    G = Graph(e, directed=False, weighted=True)
+    return k_truss(G, 4)
+
+
+def q_random_walks(spark, sf_dir):
+    from .operators.sampling import random_walks
+
+    e = edges_cs(spark, sf_dir)
+    G = Graph(e, directed=True, weighted=True)
+    starts = G.vertices().orderBy("vertex").limit(16)
+    return random_walks(G, starts, max_depth=3, seed=42)
+
+
+def q_neighbor_sample(spark, sf_dir):
+    from .operators.sampling import uniform_neighbor_sample
+
+    e = edges_cs(spark, sf_dir)
+    G = Graph(e, directed=True, weighted=True)
+    starts = G.vertices().orderBy("vertex").limit(16)
+    return uniform_neighbor_sample(G, starts, fanout=[4, 2], seed=42).select(
+        "src", "dst", (F.round("weight", 6) + F.lit(0.0)).alias("weight"), "hop"
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 def queries():
@@ -665,6 +714,11 @@ def queries():
         "embedding_norms": q_embedding_norms,
         "cosine_top1": q_cosine_top1,
         "embedding_lsh_buckets": q_embedding_lsh_buckets,
+        "louvain": q_louvain,
+        "mst": q_mst,
+        "k_truss": q_k_truss,
+        "random_walks": q_random_walks,
+        "neighbor_sample": q_neighbor_sample,
     }
 
 

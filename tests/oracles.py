@@ -298,3 +298,48 @@ def jaccard_ref(edges_sym, n=None):
                     isect = len(adj[a] & adj[b])
                     out[(a, b)] = (isect, len(adj[a]), len(adj[b]))
     return out
+
+
+def mst_ref(edges, n=None):
+    """Kruskal MSF weight + edge set over the undirected simple graph
+    with (weight, src, dst) deterministic tie-break."""
+    und = {}
+    for s, d, w in edges:
+        if s == d:
+            continue
+        a, b = (s, d) if s < d else (d, s)
+        und[(a, b)] = min(und.get((a, b), float("inf")), w)
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    chosen = []
+    for w, a, b in sorted((w, a, b) for (a, b), w in und.items()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+            chosen.append((a, b, w))
+    return chosen
+
+
+def modularity_ref(edges_sym, labels, resolution=1.0):
+    """Q over a symmetric weighted edge list; labels: dict v->c."""
+    two_m = sum(w for _, _, w in edges_sym)
+    if two_m == 0:
+        return 0.0
+    in_c = {}
+    deg_c = {}
+    for s, d, w in edges_sym:
+        cs, cd = labels[s], labels[d]
+        deg_c[cs] = deg_c.get(cs, 0.0) + w
+        if cs == cd:
+            in_c[cs] = in_c.get(cs, 0.0) + w
+    q = 0.0
+    for c, dc in deg_c.items():
+        q += in_c.get(c, 0.0) / two_m - resolution * (dc / two_m) ** 2
+    return q
