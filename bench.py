@@ -103,6 +103,21 @@ def main():
 
         run("tc_rmat14", _tc_rmat)
 
+    if only and "pagerank_rmat20" in only:
+        # compute-dominated scaling target: 16.7M edges, power-law
+        e20 = rmat_edges(spark, scale=20, edgefactor=16, seed=42).persist()
+        n20 = e20.count()
+
+        def _pr20():
+            G = Graph(e20, directed=True, weighted=True)
+            pagerank(G, alpha=0.85, tol=0.0, max_iter=PR_SUPERSTEPS).count()
+
+        run("pagerank_rmat20", _pr20)
+        if "pagerank_rmat20" in timings:
+            extras["rmat20_edges_per_sec_per_superstep"] = round(
+                n20 * PR_SUPERSTEPS / timings["pagerank_rmat20"], 1
+            )
+
     def _wcc():
         G = Graph(e_cs, directed=False, weighted=True)
         weakly_connected_components(G).count()

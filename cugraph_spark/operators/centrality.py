@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import DST, SRC, WGT, Graph
+from ..plans.strategy import vertex_join_side
 
 
 def _prep_edges(G: Graph, P: int) -> DataFrame:
@@ -53,8 +54,9 @@ def hits(
 
     for _ in range(max_iter):
         # authorities(v) = Σ_{u→v} hubs(u), L1-normalized
+        sside = vertex_join_side(state, V)
         auth_raw = (
-            edges.join(state, edges[SRC] == state["vertex"])
+            edges.join(sside, edges[SRC] == sside["vertex"])
             .groupBy(DST)
             .agg(F.sum("hubs").alias("a"))
         )
@@ -64,8 +66,9 @@ def hits(
             (F.coalesce("a", F.lit(0.0)) / F.lit(asum)).alias("authorities"),
         ).localCheckpoint(eager=False)
         # hubs(u) = Σ_{u→v} authorities(v), L1-normalized
+        aside = vertex_join_side(auth, V)
         hub_raw = (
-            edges.join(auth, edges[DST] == auth["vertex"])
+            edges.join(aside, edges[DST] == aside["vertex"])
             .groupBy(SRC)
             .agg(F.sum("authorities").alias("h"))
         )
@@ -107,8 +110,9 @@ def katz_centrality(
     state = verts.withColumn("c", F.lit(0.0)).localCheckpoint(eager=False)
 
     for _ in range(max_iter):
+        sside = vertex_join_side(state, V)
         agg = (
-            edges.join(state, edges[SRC] == state["vertex"])
+            edges.join(sside, edges[SRC] == sside["vertex"])
             .groupBy(DST)
             .agg(F.sum(F.col("c") * F.col(WGT)).alias("s"))
         )
@@ -146,8 +150,9 @@ def eigenvector_centrality(
     state = verts.withColumn("c", F.lit(1.0 / math.sqrt(V))).localCheckpoint(eager=False)
 
     for _ in range(max_iter):
+        sside = vertex_join_side(state, V)
         agg = (
-            edges.join(state, edges[SRC] == state["vertex"])
+            edges.join(sside, edges[SRC] == sside["vertex"])
             .groupBy(DST)
             .agg(F.sum(F.col("c") * F.col(WGT)).alias("s"))
         )

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from ..graph import DST, SRC, WGT, Graph
 from ..plans.checkpoint import CheckpointManager
+from ..plans.strategy import vertex_join_side
 
 
 def label_propagation(
@@ -68,10 +69,12 @@ def label_propagation(
             .localCheckpoint(eager=False)
         )
 
+    V = G.number_of_vertices()
     for it in range(start_iter, max_iter):
         # (dst, label(src), w) → Σw per (dst,label) → argmax by (w, -label)
+        sside = vertex_join_side(state, V)
         scores = (
-            edges.join(state, edges[SRC] == state["vertex"])
+            edges.join(sside, edges[SRC] == sside["vertex"])
             .groupBy(F.col(DST), F.col("labels").alias("cand"))
             .agg(F.sum(WGT).alias("w"))
         )
@@ -81,7 +84,7 @@ def label_propagation(
 
         # old label carried through → changed-count without a second join
         new_full = (
-            state.join(best, state["vertex"] == best[DST], "left")
+            state.join(best.hint("shuffle_hash"), state["vertex"] == best[DST], "left")
             .select(
                 state["vertex"],
                 F.coalesce("new_label", state["labels"]).alias("labels"),

@@ -48,6 +48,7 @@ from pyspark import StorageLevel
 
 from ..graph import DST, SRC, WGT, Graph
 from ..plans.checkpoint import CheckpointManager
+from ..plans.strategy import vertex_join_side
 
 
 class FailedToConvergeError(RuntimeError):
@@ -87,6 +88,7 @@ def pagerank(
     checkpoint: CheckpointManager | None = None,
     checkpoint_every: int = 10,
     resume: bool = False,
+    superstep_seconds: list | None = None,
 ):
     """Returns DataFrame [vertex, pagerank]; with
     ``fail_on_nonconvergence=False`` returns (df, converged) like the
@@ -162,10 +164,13 @@ def pagerank(
         state = vstate.withColumn("rank", F.lit(1.0 / V)).localCheckpoint(eager=False)
         dangling = state.filter(F.col("ows") == 0.0).agg(F.sum("rank")).first()[0] or 0.0
 
+    import time as _time
+
     converged = False
     final_iter = start_iter
     for it in range(start_iter, max_iter):
         final_iter = it
+        _t0 = _time.perf_counter()
         # rank' = rank / ows (dangling divisor 1.0) — impl.cuh:250-262
         rank_div = state.select(
             "vertex",
@@ -183,16 +188,21 @@ def pagerank(
             )
             contribs = partials.groupBy(DST).agg(F.sum("contrib").alias("contrib"))
         else:
+            # broadcast (small V) / shuffle-hash (large V) keeps the
+            # persisted O(E) side unmoved and unsorted every superstep
+            rank_side = vertex_join_side(rank_div, V)
             contribs = (
-                edges.join(rank_div, edges[SRC] == rank_div["vertex"])
+                edges.join(rank_side, edges[SRC] == rank_side["vertex"])
                 .groupBy(DST)
-                .agg(F.sum(rank_div["rank_div"] * edges[WGT]).alias("contrib"))
+                .agg(F.sum(rank_side["rank_div"] * edges[WGT]).alias("contrib"))
             )
 
         # state update joins contribs against the PREVIOUS state (which
         # already carries the old rank), so the L1 convergence diff needs
         # no second join — one plan, one action per superstep.
-        base = state.join(contribs, state["vertex"] == contribs[DST], "left")
+        base = state.join(
+            contribs.hint("shuffle_hash"), state["vertex"] == contribs[DST], "left"
+        )
         if pers is None:
             unvarying = (dangling * alpha + (1.0 - alpha)) / V
             new_rank = F.lit(alpha) * F.coalesce("contrib", F.lit(0.0)) + F.lit(unvarying)
@@ -223,6 +233,8 @@ def pagerank(
         ).first()
         l1, dangling = float(row["l1"]), float(row["dang"] or 0.0)
         state = new_full.select("vertex", "ows", "rank")
+        if superstep_seconds is not None:
+            superstep_seconds.append(_time.perf_counter() - _t0)
 
         if checkpoint is not None and checkpoint_every and (it + 1) % checkpoint_every == 0:
             state = checkpoint.save(

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from ..graph import DST, SRC, Graph
 from ..plans.checkpoint import CheckpointManager
+from ..plans.strategy import vertex_join_side
 
 
 def weakly_connected_components(
@@ -78,10 +79,12 @@ def weakly_connected_components(
             .localCheckpoint(eager=False)
         )
 
+    V = G.number_of_vertices()
     for it in range(start_iter, max_iter):
         # hash-min over neighbors (isolated vertices keep their own label)
+        sside = vertex_join_side(state, V)
         mins = (
-            edges.join(state, edges[SRC] == state["vertex"])
+            edges.join(sside, edges[SRC] == sside["vertex"])
             .groupBy(DST)
             .agg(F.min("labels").alias("nbr_min"))
         )
@@ -89,7 +92,7 @@ def weakly_connected_components(
         # join; checkpoint `lowered` so the pointer-jump self-join reads
         # one materialized RDD instead of recomputing the mins join twice
         lowered = (
-            state.join(mins, state["vertex"] == mins[DST], "left")
+            state.join(mins.hint("shuffle_hash"), state["vertex"] == mins[DST], "left")
             .select(
                 state["vertex"],
                 F.least(
@@ -103,11 +106,12 @@ def weakly_connected_components(
         lab = lowered.select(
             F.col("vertex").alias("lv"), F.col("labels").alias("ll")
         )
+        labside = vertex_join_side(lab, V)
         jumped = (
-            lowered.join(lab, lowered["labels"] == lab["lv"], "left")
+            lowered.join(labside, lowered["labels"] == labside["lv"], "left")
             .select(
                 lowered["vertex"],
-                F.coalesce("ll", lowered["labels"]).alias("labels"),
+                F.coalesce(labside["ll"], lowered["labels"]).alias("labels"),
                 lowered["old"],
             )
             .localCheckpoint(eager=False)

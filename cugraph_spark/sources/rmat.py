@@ -37,11 +37,12 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
 
 def _uniform(seed: int, idx: np.ndarray, stream: int) -> np.ndarray:
     """U[0,1) as a pure function of (seed, edge index, stream)."""
+    stream_off = np.uint64((stream * 0x9E3779B97F4A7C15) % (1 << 64))
     key = (
         idx.astype(np.uint64)
         * np.uint64(0x100000001B3)  # FNV prime spreads the index
         + np.uint64(seed)
-        + np.uint64(stream) * _SM_GAMMA
+        + stream_off
     )
     return (_splitmix64(key) >> np.uint64(11)).astype(np.float64) / float(1 << 53)
 

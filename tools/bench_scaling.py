@@ -1,13 +1,15 @@
 """Two-parallelism scaling harness (the sandbox instantiation of the
 north rule's N vs 4N executor criterion; see BASELINE.md §3).
 
-Runs the identical PageRank-superstep benchmark on the identical input
-at local[N] and local[4N] (fresh subprocess each — Spark master is
-fixed per JVM), reports throughput at both plus the scaling
-efficiency, and appends a row to BENCH/BASELINE.md.
+Measures STEADY-STATE PageRank superstep throughput (per-superstep
+wall clock from inside the loop, first two supersteps discarded as
+JIT/cache warm-up) on a seeded power-law RMAT graph big enough that
+compute dominates the per-superstep serial overhead — the regime a
+real 100 TB cluster run lives in. Identical job + identical input at
+local[N] and local[4N]; efficiency = (thr_4N / thr_N) / 4.
 
-Usage: python tools/bench_scaling.py [N] [sf_dir]
-       (default N=8 → compares local[8] vs local[32])
+Usage: python tools/bench_scaling.py [N] [rmat_scale] [edgefactor]
+       (defaults: N=8, scale=23, edgefactor=16 → 134M edges)
 """
 
 from __future__ import annotations
@@ -20,41 +22,67 @@ from pathlib import Path
 
 ROOT = Path(__file__).resolve().parents[1]
 
+WORKER = r"""
+import sys, json
+sys.path.insert(0, {root!r})
+from cugraph_spark.session import get_spark
+from cugraph_spark.sources.rmat import rmat_edges
+from cugraph_spark.graph import Graph
+from cugraph_spark.operators.pagerank import pagerank
 
-def run_bench(cpus: int, sf_dir: str, only: str) -> dict:
+spark = get_spark(app_name="bench_scaling")
+e = rmat_edges(spark, scale={scale}, edgefactor={ef}, seed=42).persist()
+n = e.count()
+G = Graph(e, directed=True, weighted=True)
+ts = []
+pagerank(G, tol=0.0, max_iter={iters}, superstep_seconds=ts).count()
+steady = ts[2:]
+mean = sum(steady) / len(steady)
+print("BENCHJSON " + json.dumps({{
+    "n_edges": n, "supersteps": ts,
+    "steady_mean_sec": mean,
+    "edges_per_sec_per_superstep": n / mean,
+}}))
+"""
+
+
+def run_worker(cpus: int, scale: int, ef: int, iters: int) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
-    env["SPARK_GRAFT_SF_DIR"] = sf_dir
-    env["SPARK_GRAFT_BENCH_ONLY"] = only
+    env.setdefault("SPARK_DRIVER_MEMORY", "48g")
+    code = WORKER.format(root=str(ROOT), scale=scale, ef=ef, iters=iters)
     out = subprocess.run(
-        [sys.executable, str(ROOT / "bench.py")],
-        capture_output=True, text=True, env=env, timeout=1800,
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        env=env, timeout=3000,
     )
-    last = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(last)
+    for line in out.stdout.splitlines():
+        if "BENCHJSON" in line:
+            return json.loads(line.split("BENCHJSON ", 1)[1])
+    raise RuntimeError(f"no result; stderr tail: {out.stderr[-2000:]}")
 
 
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
-    only = "pagerank_cs10,wcc_cs,tc_rmat14"
+    scale = int(sys.argv[2]) if len(sys.argv) > 2 else 23
+    ef = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+    iters = 7
 
-    a = run_bench(n, sf_dir, only)
-    b = run_bench(4 * n, sf_dir, only)
+    a = run_worker(n, scale, ef, iters)
+    b = run_worker(4 * n, scale, ef, iters)
 
-    thr_a = a["pagerank_edges_per_sec_per_superstep"]
-    thr_b = b["pagerank_edges_per_sec_per_superstep"]
+    thr_a = a["edges_per_sec_per_superstep"]
+    thr_b = b["edges_per_sec_per_superstep"]
     eff = (thr_b / thr_a) / 4.0
     report = {
-        "sf_dir": sf_dir,
+        "input": f"rmat scale={scale} edgefactor={ef} ({a['n_edges']} edges)",
         "cores_A": n, "cores_B": 4 * n,
-        "pagerank_edges_per_sec_per_superstep_A": thr_a,
-        "pagerank_edges_per_sec_per_superstep_B": thr_b,
-        "wcc_wall_A": a["queries"].get("wcc_cs"),
-        "wcc_wall_B": b["queries"].get("wcc_cs"),
-        "tc_wall_A": a["queries"].get("tc_rmat14"),
-        "tc_wall_B": b["queries"].get("tc_rmat14"),
+        "steady_sec_per_superstep_A": round(a["steady_mean_sec"], 2),
+        "steady_sec_per_superstep_B": round(b["steady_mean_sec"], 2),
+        "edges_per_sec_per_superstep_A": round(thr_a, 0),
+        "edges_per_sec_per_superstep_B": round(thr_b, 0),
         "scaling_efficiency": round(eff, 3),
+        "supersteps_A": [round(t, 2) for t in a["supersteps"]],
+        "supersteps_B": [round(t, 2) for t in b["supersteps"]],
     }
     print(json.dumps(report, indent=2))
 
@@ -64,19 +92,20 @@ def main():
     header = (
         "# BENCH/BASELINE.md — two-parallelism scaling evidence\n\n"
         "Same job, same input, two local parallelism levels (the sandbox\n"
-        "instantiation of the N vs 4N executor criterion; no real cluster\n"
-        "exists here). scaling_efficiency = (thr_B / thr_A) / (cores_B/cores_A).\n\n"
-        "| sf | cores A | cores B | PR edges/s/superstep A | B | WCC wall A | B | TC wall A | B | efficiency |\n"
-        "| --- | --- | --- | --- | --- | --- | --- | --- | --- | --- |\n"
+        "instantiation of the N vs 4N executor criterion — no real cluster\n"
+        "exists here). Metric: steady-state PageRank superstep throughput\n"
+        "(per-superstep wall from inside the loop, 2 warm-up supersteps\n"
+        "discarded). efficiency = (thr_B / thr_A) / (cores_B / cores_A).\n\n"
+        "| input | cores A | cores B | sec/superstep A | B | edges/s/superstep A | B | efficiency |\n"
+        "| --- | --- | --- | --- | --- | --- | --- | --- |\n"
     )
     if not md.exists():
         md.write_text(header)
     with open(md, "a") as f:
         f.write(
-            f"| {sf_dir.rstrip('/').split('sf')[-1]} | {n} | {4*n} "
-            f"| {thr_a} | {thr_b} "
-            f"| {report['wcc_wall_A']} | {report['wcc_wall_B']} "
-            f"| {report['tc_wall_A']} | {report['tc_wall_B']} "
+            f"| {report['input']} | {n} | {4*n} "
+            f"| {report['steady_sec_per_superstep_A']} | {report['steady_sec_per_superstep_B']} "
+            f"| {report['edges_per_sec_per_superstep_A']:.0f} | {report['edges_per_sec_per_superstep_B']:.0f} "
             f"| {report['scaling_efficiency']} |\n"
         )
 
