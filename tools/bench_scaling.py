@@ -36,12 +36,12 @@ n = e.count()
 G = Graph(e, directed=True, weighted=True)
 ts = []
 pagerank(G, tol=0.0, max_iter={iters}, superstep_seconds=ts).count()
-steady = ts[2:]
-mean = sum(steady) / len(steady)
+steady = sorted(ts[2:])
+median = steady[len(steady) // 2]
 print("BENCHJSON " + json.dumps({{
     "n_edges": n, "supersteps": ts,
-    "steady_mean_sec": mean,
-    "edges_per_sec_per_superstep": n / mean,
+    "steady_median_sec": median,
+    "edges_per_sec_per_superstep": n / median,
 }}))
 """
 
@@ -65,7 +65,7 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     scale = int(sys.argv[2]) if len(sys.argv) > 2 else 23
     ef = int(sys.argv[3]) if len(sys.argv) > 3 else 16
-    iters = 7
+    iters = 12
 
     a = run_worker(n, scale, ef, iters)
     b = run_worker(4 * n, scale, ef, iters)
@@ -76,8 +76,8 @@ def main():
     report = {
         "input": f"rmat scale={scale} edgefactor={ef} ({a['n_edges']} edges)",
         "cores_A": n, "cores_B": 4 * n,
-        "steady_sec_per_superstep_A": round(a["steady_mean_sec"], 2),
-        "steady_sec_per_superstep_B": round(b["steady_mean_sec"], 2),
+        "steady_sec_per_superstep_A": round(a["steady_median_sec"], 2),
+        "steady_sec_per_superstep_B": round(b["steady_median_sec"], 2),
         "edges_per_sec_per_superstep_A": round(thr_a, 0),
         "edges_per_sec_per_superstep_B": round(thr_b, 0),
         "scaling_efficiency": round(eff, 3),
