@@ -1,0 +1,163 @@
+"""Betweenness centrality — Brandes with batched sources.
+
+Reference: ``centrality/betweenness_centrality_impl.cuh`` (752 LoC;
+python ``centrality/betweenness_centrality.py``): exact or
+sampled-source Brandes; results scaled by 1/(#sources) when sampled
+and optionally normalized by 2/((V-1)(V-2)) (undirected).
+
+Spark-first shape (the "sampled sources fan out as parallel jobs" plan
+from SURVEY.md §2.3, realized as ONE DataFrame keyed by source): the
+per-source BFS states are batched into a single state DataFrame
+``(source, vertex, dist, sigma)`` so every superstep advances ALL
+sources' frontiers in one join — level-synchronous forward sweep
+recording per-level frontiers, then the backward dependency sweep
+walks levels deepest-first with one join per level:
+
+    delta(v) += Σ_{w: succ in BFS DAG} sigma(v)/sigma(w) · (1 + delta(w))
+
+Unweighted shortest paths (hop counts), matching the reference's BFS
+variant; vertices unreachable from a source contribute nothing.
+O(S·V) state; frontier joins shuffle O(S·avg_frontier) rows per level.
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..graph import DST, SRC, Graph
+
+
+def betweenness_centrality(
+    G: Graph,
+    k: int | None = None,
+    sources: DataFrame | None = None,
+    normalized: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Returns [vertex, betweenness_centrality].
+
+    ``k``: number of sources sampled deterministically (smallest k
+    vertex ids — seeded subset selection is a driver choice; the
+    reference samples randomly, we sample reproducibly). ``sources``:
+    explicit single-column DataFrame of source vertices (overrides k).
+    ``normalized``: divide by (V-1)(V-2) for directed graphs /
+    ((V-1)(V-2))/2 undirected (reference semantics); sampled runs also
+    scale by V/#sources like the reference estimator.
+    """
+    spark = G.edges.sparkSession
+    P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges = (
+        G.edges.select(SRC, DST)
+        .distinct()
+        .repartition(P, SRC)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    verts = G.vertices().persist(StorageLevel.MEMORY_AND_DISK)
+    V = verts.count()
+
+    if sources is not None:
+        src_df = sources.select(F.col(sources.columns[0]).alias("source"))
+    elif k is not None:
+        src_df = verts.orderBy("vertex").limit(k).select(
+            F.col("vertex").alias("source")
+        )
+    else:
+        src_df = verts.select(F.col("vertex").alias("source"))
+    n_sources = src_df.count()
+
+    # ---- forward sweep: level-synchronous BFS with path counts ----
+    # state rows exist only for reached (source, vertex)
+    frontier = src_df.select(
+        "source", F.col("source").alias("vertex"),
+        F.lit(0).alias("dist"), F.lit(1.0).alias("sigma"),
+    ).localCheckpoint(eager=False)
+    levels = [frontier]  # per-level frontiers (dist = level index)
+    reached = frontier.select("source", "vertex").localCheckpoint(eager=False)
+
+    depth = 0
+    while True:
+        depth += 1
+        cand = (
+            frontier.join(edges, frontier["vertex"] == edges[SRC])
+            .groupBy("source", F.col(DST).alias("vertex"))
+            .agg(F.sum("sigma").alias("sigma"))
+        )
+        nxt = (
+            cand.join(reached, ["source", "vertex"], "left_anti")
+            .select("source", "vertex", F.lit(depth).alias("dist"), "sigma")
+            .localCheckpoint(eager=False)
+        )
+        if nxt.isEmpty():
+            break
+        levels.append(nxt)
+        reached = reached.unionByName(
+            nxt.select("source", "vertex")
+        ).localCheckpoint(eager=False)
+        frontier = nxt
+
+    # ---- backward sweep: dependency accumulation, deepest first ----
+    # delta for the deepest level is 0
+    acc = None  # accumulated per-vertex betweenness contributions
+    delta = levels[-1].select(
+        "source", "vertex", "sigma", F.lit(0.0).alias("delta")
+    )
+    for lvl in range(len(levels) - 2, -1, -1):
+        cur = levels[lvl]
+        # successors of cur in the BFS DAG are delta-rows one level deeper
+        contrib = (
+            cur.join(edges, cur["vertex"] == edges[SRC])
+            .join(
+                delta.select(
+                    F.col("source").alias("sw"), F.col("vertex").alias("w"),
+                    F.col("sigma").alias("sigma_w"), F.col("delta").alias("delta_w"),
+                ),
+                (F.col(DST) == F.col("w")) & (cur["source"] == F.col("sw")),
+            )
+            .groupBy(cur["source"].alias("source"), cur["vertex"].alias("vertex"))
+            .agg(
+                F.sum(
+                    cur["sigma"] / F.col("sigma_w") * (F.lit(1.0) + F.col("delta_w"))
+                ).alias("dep")
+            )
+        )
+        delta = (
+            cur.join(contrib, ["source", "vertex"], "left")
+            .select(
+                "source", "vertex", "sigma",
+                F.coalesce("dep", F.lit(0.0)).alias("delta"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        if lvl > 0:  # source itself accumulates nothing
+            part = delta.groupBy("vertex").agg(F.sum("delta").alias("bc"))
+            acc = part if acc is None else (
+                acc.unionByName(part).groupBy("vertex").agg(F.sum("bc").alias("bc"))
+            )
+            acc = acc.localCheckpoint(eager=False)
+
+    if acc is None:
+        out = verts.withColumn("bc", F.lit(0.0))
+    else:
+        out = verts.join(acc, "vertex", "left").select(
+            "vertex", F.coalesce("bc", F.lit(0.0)).alias("bc")
+        )
+
+    # reference/NetworkX rescale contract: normalized → 1/((V-1)(V-2))
+    # (undirected double-count folds into it); unnormalized undirected
+    # → 0.5; sampled → × V/#sources estimator correction
+    if normalized and V > 2:
+        scale = 1.0 / ((V - 1) * (V - 2))
+    elif not G.directed:
+        scale = 0.5
+    else:
+        scale = 1.0
+    if n_sources < V:
+        scale *= V / n_sources
+    out = out.select(
+        "vertex", (F.col("bc") * F.lit(scale)).alias("betweenness_centrality")
+    )
+    edges.unpersist()
+    verts.unpersist()
+    return out

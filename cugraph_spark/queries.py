@@ -674,6 +674,17 @@ def q_random_walks(spark, sf_dir):
     return random_walks(G, starts, max_depth=3, seed=42)
 
 
+def q_betweenness(spark, sf_dir):
+    from .operators.betweenness import betweenness_centrality
+
+    e = edges_nation(spark, sf_dir)
+    G = Graph(e, directed=True, weighted=True)
+    return betweenness_centrality(G).select(
+        "vertex",
+        (F.round("betweenness_centrality", 8) + F.lit(0.0)).alias("betweenness_centrality"),
+    )
+
+
 def q_neighbor_sample(spark, sf_dir):
     from .operators.sampling import uniform_neighbor_sample
 
@@ -719,6 +730,7 @@ def queries():
         "k_truss": q_k_truss,
         "random_walks": q_random_walks,
         "neighbor_sample": q_neighbor_sample,
+        "betweenness": q_betweenness,
     }
 
 

@@ -343,3 +343,55 @@ def modularity_ref(edges_sym, labels, resolution=1.0):
     for c, dc in deg_c.items():
         q += in_c.get(c, 0.0) / two_m - resolution * (dc / two_m) ** 2
     return q
+
+
+def betweenness_ref(edges, n=None, directed=True, normalized=True, sources=None):
+    """Brandes exact betweenness (unweighted), NetworkX rescale
+    contract: normalized → 1/((n-1)(n-2)); unnormalized undirected →
+    0.5; sampled → × n/#sources."""
+    from collections import deque
+
+    src, dst, _, n_auto = _to_arrays(edges)
+    n = n if n is not None else n_auto
+    adj = [[] for _ in range(n)]
+    for s, d in zip(src, dst):
+        adj[s].append(d)
+        if not directed:
+            adj[d].append(s)
+    bc = np.zeros(n)
+    srcs = range(n) if sources is None else sources
+    n_sources = len(list(srcs)) if sources is not None else n
+    srcs = range(n) if sources is None else sources
+    for s in srcs:
+        sigma = np.zeros(n)
+        dist = np.full(n, -1)
+        preds = [[] for _ in range(n)]
+        sigma[s] = 1.0
+        dist[s] = 0
+        order = []
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            order.append(u)
+            for v in adj[u]:
+                if dist[v] == -1:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+                if dist[v] == dist[u] + 1:
+                    sigma[v] += sigma[u]
+                    preds[v].append(u)
+        delta = np.zeros(n)
+        for v in reversed(order):
+            for u in preds[v]:
+                delta[u] += sigma[u] / sigma[v] * (1 + delta[v])
+            if v != s:
+                bc[v] += delta[v]
+    if normalized and n > 2:
+        scale = 1.0 / ((n - 1) * (n - 2))
+    elif not directed:
+        scale = 0.5
+    else:
+        scale = 1.0
+    if n_sources < n:
+        scale *= n / n_sources
+    return bc * scale

@@ -144,3 +144,45 @@ def test_jaccard_explicit_pairs(spark):
     assert abs(got[(0, 1)] - isect / (da + db - isect)) < 1e-12
     i2, d4a, d4b = ref[(0, 4)]  # 0 and 4 share neighbor 3
     assert abs(got[(0, 4)] - i2 / (d4a + d4b - i2)) < 1e-12
+
+
+def test_betweenness_matches_oracle_directed(spark):
+    from cugraph_spark.operators.betweenness import betweenness_centrality
+    from .oracles import betweenness_ref
+    from .conftest import edges_df, make_edges
+
+    edges = make_edges("directed_asym")
+    G = Graph(edges_df(spark, edges), directed=True)
+    got = {r["vertex"]: r["betweenness_centrality"]
+           for r in betweenness_centrality(G).collect()}
+    ref = betweenness_ref(edges, directed=True)
+    for v, b in got.items():
+        assert abs(b - ref[v]) < 1e-9, f"vertex {v}"
+
+
+def test_betweenness_matches_oracle_undirected(spark):
+    from cugraph_spark.operators.betweenness import betweenness_centrality
+    from .oracles import betweenness_ref
+    from .conftest import edges_df, make_edges
+
+    edges = make_edges("triangle_mesh")
+    G = Graph(edges_df(spark, edges), directed=False)
+    got = {r["vertex"]: r["betweenness_centrality"]
+           for r in betweenness_centrality(G, normalized=False).collect()}
+    ref = betweenness_ref(edges, directed=False, normalized=False)
+    for v, b in got.items():
+        assert abs(b - ref[v]) < 1e-9, f"vertex {v}"
+
+
+def test_betweenness_sampled_sources(spark):
+    from cugraph_spark.operators.betweenness import betweenness_centrality
+    from .oracles import betweenness_ref
+    from .conftest import edges_df, make_edges
+
+    edges = make_edges("line")
+    G = Graph(edges_df(spark, edges), directed=True)
+    got = {r["vertex"]: r["betweenness_centrality"]
+           for r in betweenness_centrality(G, k=3, normalized=False).collect()}
+    ref = betweenness_ref(edges, directed=True, normalized=False, sources=[0, 1, 2])
+    for v, b in got.items():
+        assert abs(b - ref[v]) < 1e-9, f"vertex {v}"
