@@ -43,5 +43,6 @@ from .operators.community import (  # noqa: F401
 )
 from .operators.tree import minimum_spanning_tree  # noqa: F401
 from .operators.betweenness import betweenness_centrality  # noqa: F401
+from .property_graph import PropertyGraph, hypergraph  # noqa: F401
 
 __version__ = "0.1.0"

@@ -1,0 +1,98 @@
+"""PropertyGraph + hypergraph builder tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cugraph_spark import Graph, pagerank
+from cugraph_spark.property_graph import PropertyGraph, hypergraph
+
+
+def _pg(spark):
+    pg = PropertyGraph()
+    users = spark.createDataFrame(
+        [(1, "ann", 34), (2, "bo", 28), (3, "cy", 41)],
+        "uid long, name string, age int",
+    )
+    repos = spark.createDataFrame(
+        [(100, "libfoo"), (101, "barapp")], "rid long, repo_name string"
+    )
+    pg.add_vertex_data(users, "uid", "user")
+    pg.add_vertex_data(repos, "rid", "repo")
+    follows = spark.createDataFrame(
+        [(1, 2, 5.0), (2, 3, 1.0), (3, 1, 2.0)], "u long, v long, strength double"
+    )
+    stars = spark.createDataFrame(
+        [(1, 100, 1.0), (2, 100, 1.0), (3, 101, 1.0)], "u long, r long, w double"
+    )
+    pg.add_edge_data(follows, ("u", "v"), "follows")
+    pg.add_edge_data(stars, ("u", "r"), "stars")
+    return pg
+
+
+def test_property_graph_counts_and_types(spark):
+    pg = _pg(spark)
+    assert pg.vertex_types() == ["repo", "user"]
+    assert pg.edge_types() == ["follows", "stars"]
+    assert pg.get_num_edges() == 6
+    assert pg.get_num_vertices() == 5
+
+
+def test_property_graph_retrieval(spark):
+    pg = _pg(spark)
+    vd = pg.get_vertex_data(types=["user"], columns=["name"])
+    assert sorted(r["name"] for r in vd.collect()) == ["ann", "bo", "cy"]
+    ed = pg.get_edge_data(types=["follows"])
+    assert ed.count() == 3
+    assert all(r["strength"] is not None for r in ed.collect())
+
+
+def test_extract_subgraph_runs_algorithms(spark):
+    pg = _pg(spark)
+    G = pg.extract_subgraph(edge_types=["follows"], weight_col="strength")
+    pr = pagerank(G, tol=1e-6, max_iter=100)
+    total = pr.agg(F.sum("pagerank")).first()[0]
+    assert abs(total - 1.0) < 1e-9
+    assert pr.count() == 3
+
+
+def test_extract_subgraph_filter(spark):
+    pg = _pg(spark)
+    G = pg.extract_subgraph(
+        edge_types=["follows"], edge_filter="strength > 1.5"
+    )
+    assert G.edges.count() == 2
+
+
+def test_annotate_dataframe(spark):
+    pg = _pg(spark)
+    q = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+    out = pg.annotate_dataframe(q, "a", "b", edge_types=["follows"])
+    got = {(r["a"], r["b"]): r["strength"] for r in out.collect()}
+    assert got == {(1, 2): 5.0, (2, 3): 1.0}
+
+
+def test_hypergraph_bipartite(spark):
+    df = spark.createDataFrame(
+        [(0, "x", "p"), (1, "x", "q"), (2, "y", None)],
+        "row_id long, c1 string, c2 string",
+    )
+    e = hypergraph(df)
+    got = {(r["src"], r["dst"]) for r in e.collect()}
+    assert ("row::0", "c1::x") in got and ("row::0", "c2::p") in got
+    assert ("row::2", "c1::y") in got
+    assert not any(d.endswith("::None") for _, d in got)
+    # bipartite graph is WCC-connectable through shared values
+    G = Graph.from_edgelist(e, weight_col="weight", directed=False, do_renumber=True)
+    assert G.number_of_vertices() == 3 + 4  # 3 rows + {c1::x, c1::y, c2::p, c2::q}
+
+
+def test_hypergraph_direct(spark):
+    df = spark.createDataFrame(
+        [(0, "x", "p"), (1, "x", "q")], "row_id long, c1 string, c2 string"
+    )
+    e = hypergraph(df, direct=True)
+    got = {(r["src"], r["dst"]): r["weight"] for r in e.collect()}
+    assert got[("c1::x", "c2::p")] == 1.0
+    assert got[("c1::x", "c2::q")] == 1.0
+    assert len(got) == 2
