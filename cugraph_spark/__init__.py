@@ -44,5 +44,7 @@ from .operators.community import (  # noqa: F401
 from .operators.tree import minimum_spanning_tree  # noqa: F401
 from .operators.betweenness import betweenness_centrality  # noqa: F401
 from .property_graph import PropertyGraph, hypergraph  # noqa: F401
+from .operators.mis import maximal_independent_set, vertex_coloring  # noqa: F401
+from .operators.scc import strongly_connected_components  # noqa: F401
 
 __version__ = "0.1.0"

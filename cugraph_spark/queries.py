@@ -674,6 +674,22 @@ def q_random_walks(spark, sf_dir):
     return random_walks(G, starts, max_depth=3, seed=42)
 
 
+def q_scc(spark, sf_dir):
+    from .operators.scc import strongly_connected_components
+
+    e = edges_nation(spark, sf_dir)
+    G = Graph(e, directed=True, weighted=True)
+    return strongly_connected_components(G)
+
+
+def q_mis(spark, sf_dir):
+    from .operators.mis import maximal_independent_set
+
+    e = edges_ss(spark, sf_dir)
+    G = Graph(e, directed=False, weighted=True)
+    return maximal_independent_set(G)
+
+
 def q_betweenness(spark, sf_dir):
     from .operators.betweenness import betweenness_centrality
 
@@ -731,6 +747,8 @@ def queries():
         "random_walks": q_random_walks,
         "neighbor_sample": q_neighbor_sample,
         "betweenness": q_betweenness,
+        "scc": q_scc,
+        "mis": q_mis,
     }
 
 

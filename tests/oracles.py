@@ -395,3 +395,50 @@ def betweenness_ref(edges, n=None, directed=True, normalized=True, sources=None)
     if n_sources < n:
         scale *= n / n_sources
     return bc * scale
+
+
+def scc_ref(edges, n=None):
+    """Tarjan SCC; labels = max vertex id per component."""
+    src, dst, _, n_auto = _to_arrays(edges)
+    n = n if n is not None else n_auto
+    adj = [[] for _ in range(n)]
+    for s, d in zip(src, dst):
+        if s != d:
+            adj[s].append(d)
+    index = [None] * n
+    low = [0] * n
+    on_stack = [False] * n
+    stack = []
+    labels = [0] * n
+    counter = [0]
+
+    import sys
+    sys.setrecursionlimit(100000)
+
+    def strongconnect(v):
+        index[v] = low[v] = counter[0]
+        counter[0] += 1
+        stack.append(v)
+        on_stack[v] = True
+        for w in adj[v]:
+            if index[w] is None:
+                strongconnect(w)
+                low[v] = min(low[v], low[w])
+            elif on_stack[w]:
+                low[v] = min(low[v], index[w])
+        if low[v] == index[v]:
+            comp = []
+            while True:
+                w = stack.pop()
+                on_stack[w] = False
+                comp.append(w)
+                if w == v:
+                    break
+            m = max(comp)
+            for w in comp:
+                labels[w] = m
+
+    for v in range(n):
+        if index[v] is None:
+            strongconnect(v)
+    return labels
