@@ -41,6 +41,7 @@ def cosine_topk_bruteforce(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str | None = None,
+    max_queries: int = 65_536,
 ) -> DataFrame:
     """Exact top-k by cosine: [query_id, vec_id, cosine, rank].
 
@@ -49,13 +50,24 @@ def cosine_topk_bruteforce(
     Arrow batch inside ``mapInPandas`` (~100× the interpreted
     higher-order-function path), each batch emitting its local top-k
     per query; a final window merges the partials. Self-matches (same
-    id) are excluded when query ids share the corpus id space."""
+    id) are excluded when query ids share the corpus id space.
+
+    This is the exact/oracle path: the query side MUST be small —
+    ``max_queries`` guards the driver collect. For large query sets
+    use ``cosine_topk_ivf`` / ``cosine_topk_lsh``, and for corpus
+    self-dedup use ``embedding_near_duplicates`` (LSH-blocked)."""
     import numpy as np
     import pandas as pd
     from collections.abc import Iterator
 
     qid = query_id_col or id_col
-    qrows = queries.select(qid, vec_col).collect()
+    qrows = queries.select(qid, vec_col).limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"cosine_topk_bruteforce collects the query side to the driver; "
+            f"got > max_queries={max_queries} queries — use cosine_topk_ivf/"
+            f"cosine_topk_lsh or embedding_near_duplicates instead"
+        )
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
@@ -176,26 +188,27 @@ def ivf_assign(
     n_centroids: int = 16,
     stride_seed: int = 1,
 ) -> tuple[DataFrame, DataFrame]:
-    """IVF coarse quantization: centroids = a deterministic strided
-    sample of the corpus itself (rank-based, seeded); every vector is
-    assigned to its max-cosine centroid via a broadcast join. Returns
-    (assigned_df with 'ivf_cell', centroids_df)."""
-    w = Window.orderBy(F.col(id_col))
-    ranked = df.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
-    ).withColumn("rn", F.row_number().over(w))
-    total = ranked.count()
-    stride = max(total // n_centroids, 1)
-    cents = (
-        ranked.filter(((F.col("rn") + stride_seed) % stride) == 0)
+    """IVF coarse quantization: centroids = the ``n_centroids`` corpus
+    vectors with the smallest seeded hash ``xxhash64(id, seed)`` — a
+    deterministic uniform sample picked with ``orderBy(hash).limit(n)``,
+    which Spark plans as TakeOrderedAndProject (per-partition top-n +
+    driver merge, NO single-partition global sort — the round-1
+    ``Window.orderBy`` version shuffled the whole corpus through one
+    task). Cell ids come from a window over the n_centroids-row
+    centroid set only. Every vector is assigned to its max-cosine
+    centroid via a broadcast join. Returns (assigned_df with
+    'ivf_cell', centroids_df)."""
+    vecs = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    picked = (
+        vecs.orderBy(F.xxhash64(F.col(id_col), F.lit(stride_seed)), F.col(id_col))
         .limit(n_centroids)
-        .select(
-            F.row_number().over(Window.orderBy("rn")).alias("ivf_cell"),
-            F.col("v").alias("cent"),
-        )
+    )
+    cents = picked.select(
+        F.row_number().over(Window.orderBy(id_col)).alias("ivf_cell"),
+        F.col("v").alias("cent"),
     )
     scored = (
-        ranked.crossJoin(F.broadcast(cents))
+        vecs.crossJoin(F.broadcast(cents))
         .select(
             id_col, "v", "ivf_cell",
             (_dot(F.col("v"), F.col("cent")) / (_norm(F.col("v")) * _norm(F.col("cent")))).alias("cs"),

@@ -116,10 +116,37 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs (or all
     pairs sharing ≥ 1 shingle when ``pairs`` is None — the inverted-
-    index join). Returns [a, b, jaccard]."""
+    index join). Returns [a, b, jaccard].
+
+    Candidate-scoped path (``pairs`` given, the LSH verify step): the
+    candidate pair list joins the two shingle ARRAYS and computes
+    ``size(array_intersect)`` per pair — O(|pairs|) rows, zero
+    inverted-index fan-out, so one hot shingle shared by millions of
+    docs can never re-create the all-pairs blowup the LSH banding
+    exists to avoid (the round-1 verify path did exactly that)."""
     sh = shingles(df.select(id_col, text_col), text_col, n=n).select(
         F.col(id_col).alias("id"), F.col("shingles")
     )
+    if pairs is not None:
+        want = pairs.select(
+            F.least(pairs.columns[0], pairs.columns[1]).alias("a"),
+            F.greatest(pairs.columns[0], pairs.columns[1]).alias("b"),
+        ).distinct()
+        out = (
+            want.join(sh.select(F.col("id").alias("a"), F.col("shingles").alias("sha")), "a")
+            .join(sh.select(F.col("id").alias("b"), F.col("shingles").alias("shb")), "b")
+            .select(
+                "a", "b",
+                F.size(F.array_intersect("sha", "shb")).alias("isect"),
+                F.size("sha").alias("sz_a"),
+                F.size("shb").alias("sz_b"),
+            )
+            .select(
+                "a", "b",
+                (F.col("isect") / (F.col("sz_a") + F.col("sz_b") - F.col("isect"))).alias("jaccard"),
+            )
+        )
+        return out.filter(F.col("jaccard") >= threshold)
     sizes = sh.select("id", F.size("shingles").alias("sz"))
     ex = sh.select("id", F.explode("shingles").alias("g"))
     inter = (
@@ -129,12 +156,6 @@ def ngram_jaccard_pairs(
         .groupBy("a", "b")
         .agg(F.count("*").alias("isect"))
     )
-    if pairs is not None:
-        want = pairs.select(
-            F.least(pairs.columns[0], pairs.columns[1]).alias("a"),
-            F.greatest(pairs.columns[0], pairs.columns[1]).alias("b"),
-        ).distinct()
-        inter = inter.join(want, ["a", "b"], "left_semi")
     out = (
         inter.join(sizes.select(F.col("id").alias("a"), F.col("sz").alias("sz_a")), "a")
         .join(sizes.select(F.col("id").alias("b"), F.col("sz").alias("sz_b")), "b")

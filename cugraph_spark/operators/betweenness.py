@@ -34,13 +34,15 @@ def betweenness_centrality(
     k: int | None = None,
     sources: DataFrame | None = None,
     normalized: bool = True,
+    seed: int = 42,
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Returns [vertex, betweenness_centrality].
 
-    ``k``: number of sources sampled deterministically (smallest k
-    vertex ids — seeded subset selection is a driver choice; the
-    reference samples randomly, we sample reproducibly). ``sources``:
+    ``k``: number of sources sampled pseudo-randomly but reproducibly —
+    the k smallest by ``xxhash64(vertex, seed)`` (an unbiased uniform
+    subset for any fixed seed, matching the reference's random source
+    sampling while staying deterministic across runs). ``sources``:
     explicit single-column DataFrame of source vertices (overrides k).
     ``normalized``: divide by (V-1)(V-2) for directed graphs /
     ((V-1)(V-2))/2 undirected (reference semantics); sampled runs also
@@ -60,8 +62,12 @@ def betweenness_centrality(
     if sources is not None:
         src_df = sources.select(F.col(sources.columns[0]).alias("source"))
     elif k is not None:
-        src_df = verts.orderBy("vertex").limit(k).select(
-            F.col("vertex").alias("source")
+        # top-k by seeded hash = deterministic uniform sample (Spark
+        # plans this as TakeOrderedAndProject — no global sort stage)
+        src_df = (
+            verts.orderBy(F.xxhash64(F.col("vertex"), F.lit(seed)), F.col("vertex"))
+            .limit(k)
+            .select(F.col("vertex").alias("source"))
         )
     else:
         src_df = verts.select(F.col("vertex").alias("source"))

@@ -44,51 +44,98 @@ def hits(
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Returns [vertex, hubs, authorities]; unweighted adjacency
-    (hits_impl.cuh ignores weights — the python wrapper warns)."""
+    (hits_impl.cuh ignores weights — the python wrapper warns).
+
+    ONE Spark action per superstep (the PageRank pattern): the L1
+    normalization scale is carried as a driver-side float and divided
+    in lazily at the NEXT superstep (L1 normalization is scale-
+    covariant, so the factor commutes through the SpMV), and the
+    convergence L1-diff is evaluated one superstep delayed from the
+    two previous states whose scales are already known — the single
+    per-superstep agg returns (Σ new_hub_unnorm, delayed diff).
+    Stopping state matches the reference exactly: we return the first
+    state whose diff < tol (carried in the plan), not the extra
+    superstep computed while detecting it."""
     spark = G.edges.sparkSession
     P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     edges = _prep_edges(G, P)
     verts = G.vertices().repartition(P, "vertex").persist(StorageLevel.MEMORY_AND_DISK)
     V = verts.count()
-    state = verts.withColumn("hubs", F.lit(1.0 / V)).localCheckpoint(eager=False)
 
-    for _ in range(max_iter):
-        # authorities(v) = Σ_{u→v} hubs(u), L1-normalized
-        sside = vertex_join_side(state, V)
-        auth_raw = (
-            edges.join(sside, edges[SRC] == sside["vertex"])
+    def _authorities(hub_state: DataFrame, scale: float) -> DataFrame:
+        """[vertex, authorities] from a normalized-by-`scale` hub state;
+        one extra action for the final output only (asum)."""
+        side = vertex_join_side(hub_state, V)
+        a_raw = (
+            edges.join(side, edges[SRC] == side["vertex"])
             .groupBy(DST)
-            .agg(F.sum("hubs").alias("a"))
+            .agg((F.sum("h_un") / F.lit(scale)).alias("a"))
         )
-        asum = auth_raw.agg(F.sum("a")).first()[0] or 1.0
-        auth = verts.join(auth_raw, verts["vertex"] == auth_raw[DST], "left").select(
+        asum = a_raw.agg(F.sum("a")).first()[0] or 1.0
+        return verts.join(a_raw, verts["vertex"] == a_raw[DST], "left").select(
             verts["vertex"],
             (F.coalesce("a", F.lit(0.0)) / F.lit(asum)).alias("authorities"),
-        ).localCheckpoint(eager=False)
-        # hubs(u) = Σ_{u→v} authorities(v), L1-normalized
-        aside = vertex_join_side(auth, V)
-        hub_raw = (
-            edges.join(aside, edges[DST] == aside["vertex"])
+        )
+
+    # state: (vertex, h_un, p_un) — current and previous UNNORMALIZED hub
+    # vectors; S/S_prev are their L1 sums (so hubs = h_un/S exactly).
+    state = (
+        verts.withColumn("h_un", F.lit(1.0))
+        .withColumn("p_un", F.lit(1.0))
+        .localCheckpoint(eager=False)
+    )
+    S, S_prev = float(V), float(V)
+
+    final_h, final_scale = state, S
+    for it in range(max_iter):
+        sside = vertex_join_side(state, V)
+        a_un = (
+            edges.join(sside, edges[SRC] == sside["vertex"])
+            .groupBy(DST)
+            .agg((F.sum("h_un") / F.lit(S)).alias("a_un"))
+        )
+        h_un_new = (
+            edges.join(a_un, edges[DST] == a_un[DST])
             .groupBy(SRC)
-            .agg(F.sum("authorities").alias("h"))
+            .agg(F.sum("a_un").alias("h_new"))
         )
-        hsum = hub_raw.agg(F.sum("h")).first()[0] or 1.0
-        new_full = state.join(hub_raw, state["vertex"] == hub_raw[SRC], "left").select(
+        new_full = state.join(
+            h_un_new, state["vertex"] == h_un_new[SRC], "left"
+        ).select(
             state["vertex"],
-            (F.coalesce("h", F.lit(0.0)) / F.lit(hsum)).alias("hubs"),
-            state["hubs"].alias("old"),
+            F.coalesce("h_new", F.lit(0.0)).alias("h_un"),
+            state["h_un"].alias("p_un"),
+            state["p_un"].alias("pp_un"),
         ).localCheckpoint(eager=False)
 
-        diff = (
-            new_full.agg(F.sum(F.abs(F.col("hubs") - F.col("old"))).alias("d"))
-            .first()["d"]
-        )
-        state = new_full.select("vertex", "hubs")
-        last_auth = auth
-        if diff is not None and diff < tol:
-            break
+        # single action: next scale + L1 diff of the two PREVIOUS states
+        row = new_full.agg(
+            F.sum("h_un").alias("s"),
+            F.sum(
+                F.abs(F.col("p_un") / F.lit(S) - F.col("pp_un") / F.lit(S_prev))
+            ).alias("d"),
+        ).first()
+        S_new = float(row["s"] or 1.0)
+        diff = float(row["d"]) if row["d"] is not None else None
 
-    out = state.join(last_auth, "vertex").select("vertex", "hubs", "authorities")
+        if it >= 1 and diff is not None and diff < tol:
+            # state's h_un (== new_full.p_un) already satisfied the tol
+            final_h = new_full.select("vertex", F.col("p_un").alias("h_un"))
+            final_scale = S
+            break
+        state = new_full.select("vertex", "h_un", "p_un")
+        S_prev, S = S, S_new
+        final_h = state
+        final_scale = S
+
+    auth = _authorities(final_h, final_scale)
+    out = (
+        final_h.join(auth, "vertex")
+        .select(
+            "vertex", (F.col("h_un") / F.lit(final_scale)).alias("hubs"),
+            "authorities",
+        )
+    )
     edges.unpersist()
     verts.unpersist()
     return out
@@ -147,32 +194,54 @@ def eigenvector_centrality(
     edges = _prep_edges(G, P)
     verts = G.vertices().repartition(P, "vertex").persist(StorageLevel.MEMORY_AND_DISK)
     V = verts.count()
-    state = verts.withColumn("c", F.lit(1.0 / math.sqrt(V))).localCheckpoint(eager=False)
+    # same one-action-per-superstep shape as hits(): state carries the
+    # UNNORMALIZED vector (+ previous); the L2 scale is a driver float
+    # divided in lazily, and the diff is checked one superstep delayed.
+    state = (
+        verts.withColumn("c_un", F.lit(1.0 / math.sqrt(V)))
+        .withColumn("p_un", F.lit(1.0 / math.sqrt(V)))
+        .localCheckpoint(eager=False)
+    )
+    N, N_prev = 1.0, 1.0
 
-    for _ in range(max_iter):
+    out_state, out_scale = state, N
+    for it in range(max_iter):
         sside = vertex_join_side(state, V)
         agg = (
             edges.join(sside, edges[SRC] == sside["vertex"])
             .groupBy(DST)
-            .agg(F.sum(F.col("c") * F.col(WGT)).alias("s"))
+            .agg((F.sum(F.col("c_un") * F.col(WGT)) / F.lit(N)).alias("s"))
         )
-        raw = state.join(agg, state["vertex"] == agg[DST], "left").select(
-            state["vertex"], F.coalesce("s", F.lit(0.0)).alias("c"),
-            state["c"].alias("old"),
+        new_full = state.join(agg, state["vertex"] == agg[DST], "left").select(
+            state["vertex"],
+            F.coalesce("s", F.lit(0.0)).alias("c_un"),
+            state["c_un"].alias("p_un"),
+            state["p_un"].alias("pp_un"),
         ).localCheckpoint(eager=False)
-        norm = raw.agg(F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("n")).first()["n"]
-        if not norm:
-            state = raw.select("vertex", "c")
-            break
-        diff = (
-            raw.agg(F.sum(F.abs(F.col("c") / F.lit(norm) - F.col("old"))).alias("d"))
-            .first()["d"]
-        )
-        state = raw.select("vertex", (F.col("c") / F.lit(norm)).alias("c"))
-        if diff is not None and diff < tol * V:
-            break
+        row = new_full.agg(
+            F.sqrt(F.sum(F.col("c_un") * F.col("c_un"))).alias("n"),
+            F.sum(
+                F.abs(F.col("p_un") / F.lit(N) - F.col("pp_un") / F.lit(N_prev))
+            ).alias("d"),
+        ).first()
+        N_new = float(row["n"]) if row["n"] else 0.0
+        diff = float(row["d"]) if row["d"] is not None else None
 
-    out = state.select("vertex", F.col("c").alias("eigenvector_centrality"))
+        if N_new == 0.0:
+            out_state = new_full.select("vertex", "c_un")
+            out_scale = 1.0
+            break
+        if it >= 1 and diff is not None and diff < tol * V:
+            out_state = new_full.select("vertex", F.col("p_un").alias("c_un"))
+            out_scale = N
+            break
+        state = new_full.select("vertex", "c_un", "p_un")
+        N_prev, N = N, N_new
+        out_state, out_scale = state, N
+
+    out = out_state.select(
+        "vertex", (F.col("c_un") / F.lit(out_scale)).alias("eigenvector_centrality")
+    )
     edges.unpersist()
     verts.unpersist()
     return out

@@ -172,19 +172,25 @@ def louvain(
 
         # push level labels down to original vertices
         level_lab = state.select(F.col("vertex").alias("lv"), F.col("labels").alias("ll"))
-        assignment = (
+        candidate = (
             assignment.join(level_lab, assignment["labels"] == level_lab["lv"])
             .select(assignment["vertex"], F.col("ll").alias("labels"))
             .localCheckpoint(eager=False)
         )
-        q = modularity(G, assignment, resolution)
+        q = modularity(G, candidate, resolution)
         coarse = coarsen_graph(
             _as_graph(cur_edges, G), state.select("vertex", "labels")
         )
         edges.unpersist()
         if q <= best_q + min_gain:
-            best_q = max(q, best_q)
+            # synchronous moves can oscillate and LOWER Q on the last
+            # level — keep the previous assignment so the returned
+            # labels actually achieve the returned best_q
+            if q > best_q:
+                assignment = candidate
+                best_q = q
             break
+        assignment = candidate
         best_q = q
         cur_edges = coarse
 
@@ -231,10 +237,12 @@ def k_truss(G: Graph, k: int, max_iter: int = 100) -> DataFrame:
     if G.directed:
         raise ValueError("k_truss requires an undirected graph")
     cur = G
+    n_before = None  # lazily counted once; each round reuses last n_after
     for _ in range(max_iter):
+        if n_before is None:
+            n_before = cur.edges.filter(F.col(SRC) < F.col(DST)).count()
         etc = edge_triangle_count(cur)
         keep = etc.filter(F.col("counts") >= k - 2).select(SRC, DST)
-        n_before = cur.edges.filter(F.col(SRC) < F.col(DST)).count()
         n_after = keep.count()
         sym = keep.unionByName(
             keep.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
@@ -242,4 +250,5 @@ def k_truss(G: Graph, k: int, max_iter: int = 100) -> DataFrame:
         cur = _as_graph(sym.localCheckpoint(eager=False), G)
         if n_after == n_before:
             break
+        n_before = n_after
     return cur.edges.filter(F.col(SRC) < F.col(DST)).select(SRC, DST)

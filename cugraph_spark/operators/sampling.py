@@ -13,7 +13,10 @@ Reference surface:
 Spark-first determinism: the reference seeds a device RNG; we need
 runs to be reproducible *across partitionings and cluster sizes*, so
 every random draw is a counter-based hash ``xxhash64(walk_id, step,
-seed)`` (same idiom as the RMAT generator) — no RNG state anywhere.
+seed)`` (same idiom as the RMAT generator) — no RNG state anywhere —
+and walk ids themselves are deterministic ``row_number`` ordinals over
+the sorted start vertices (``_walk_ids``), never
+``monotonically_increasing_id`` (which is partition-layout-dependent).
 Each step is one join: walks-at-frontier ⋈ out-edges on the current
 vertex, pick the neighbor whose rank matches the draw via
 ``row_number`` over (walk, neighbor order). Walk state stays O(#walks)
@@ -27,6 +30,28 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..graph import DST, SRC, WGT, Graph
+
+
+def _walk_ids(start_vertices: DataFrame) -> DataFrame:
+    """[walk_id, vertex]: deterministic 0-based walk ids.
+
+    ``monotonically_increasing_id`` depends on partition layout (and can
+    change if a persisted partition is recomputed), so walk ids come
+    from ``row_number`` over the sorted start-vertex column — identical
+    at any parallelism. Start lists are seed sets (≪ V), so the single-
+    partition sort of the seeds is cheap; callers with huge seed sets
+    can pass a 2-column (walk_id, vertex) DataFrame to skip it."""
+    cols = start_vertices.columns
+    if len(cols) >= 2:
+        return start_vertices.select(
+            F.col(cols[0]).cast("long").alias("walk_id"),
+            F.col(cols[1]).alias("vertex"),
+        )
+    v = F.col(cols[0])
+    return start_vertices.select(
+        (F.row_number().over(Window.orderBy(v)) - 1).cast("long").alias("walk_id"),
+        v.alias("vertex"),
+    )
 
 
 def random_walks(
@@ -50,10 +75,7 @@ def random_walks(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
-    walks = start_vertices.select(
-        F.monotonically_increasing_id().alias("walk_id"),
-        F.col(start_vertices.columns[0]).alias("vertex"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    walks = _walk_ids(start_vertices).persist(StorageLevel.MEMORY_AND_DISK)
     out = walks.select("walk_id", F.lit(0).alias("step"), "vertex")
     frontier = walks
 
@@ -100,11 +122,11 @@ def node2vec_walks(
         F.col(SRC).alias("t_"), F.col(DST).alias("x_"), F.lit(1).alias("is_nbr")
     ).distinct()
 
-    walks = start_vertices.select(
-        F.monotonically_increasing_id().alias("walk_id"),
-        F.col(start_vertices.columns[0]).alias("vertex"),
-        F.lit(None).cast("long").alias("prev"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    walks = (
+        _walk_ids(start_vertices)
+        .withColumn("prev", F.lit(None).cast("long"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     out = walks.select("walk_id", F.lit(0).alias("step"), "vertex")
     frontier = walks
 
@@ -169,8 +191,11 @@ def uniform_neighbor_sample(
     (``uniform_neighbor_sample_impl.hpp``): per hop h, sample up to
     fanout[h] out-edges per frontier vertex. Returns
     [src, dst, weight, hop]. Without replacement: rank neighbors by a
-    per-(vertex,hop,seed) hash and keep the top fanout — vectorized,
-    deterministic, partitioning-invariant."""
+    per-(vertex,hop,seed) hash and keep the top fanout. With
+    replacement: fanout[h] independent slot draws per frontier vertex
+    (slot s draws ``xxhash64(src, hop, s, seed) mod degree``), so the
+    same neighbor can repeat. Both are vectorized, deterministic, and
+    partitioning-invariant."""
     edges = G.edges.select(SRC, DST, WGT).persist(StorageLevel.MEMORY_AND_DISK)
     frontier = start_vertices.select(
         F.col(start_vertices.columns[0]).alias("v")
@@ -178,15 +203,35 @@ def uniform_neighbor_sample(
     samples = None
     for hop, k in enumerate(fanout):
         cand = edges.join(frontier, edges[SRC] == frontier["v"]).select(SRC, DST, WGT)
-        w = Window.partitionBy(SRC).orderBy(
-            F.xxhash64(F.col(SRC), F.col(DST), F.lit(hop), F.lit(seed))
-        )
-        picked = (
-            cand.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= k)
-            .select(SRC, DST, WGT, F.lit(hop).alias("hop"))
-            .localCheckpoint(eager=False)
-        )
+        if with_replacement:
+            wd = Window.partitionBy(SRC).orderBy(DST)
+            ranked = (
+                cand.withColumn("rn", F.row_number().over(wd))
+                .withColumn("deg", F.count("*").over(Window.partitionBy(SRC)))
+            )
+            slots = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("slot")
+            picked = (
+                ranked.select(SRC, DST, WGT, "rn", "deg", slots)
+                .filter(
+                    F.col("rn") - 1
+                    == F.pmod(
+                        F.xxhash64(F.col(SRC), F.lit(hop), F.col("slot"), F.lit(seed)),
+                        F.col("deg"),
+                    )
+                )
+                .select(SRC, DST, WGT, F.lit(hop).alias("hop"))
+                .localCheckpoint(eager=False)
+            )
+        else:
+            w = Window.partitionBy(SRC).orderBy(
+                F.xxhash64(F.col(SRC), F.col(DST), F.lit(hop), F.lit(seed))
+            )
+            picked = (
+                cand.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= k)
+                .select(SRC, DST, WGT, F.lit(hop).alias("hop"))
+                .localCheckpoint(eager=False)
+            )
         samples = picked if samples is None else samples.unionByName(picked)
         frontier = picked.select(F.col(DST).alias("v")).distinct()
     edges.unpersist()

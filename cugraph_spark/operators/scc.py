@@ -44,9 +44,18 @@ def strongly_connected_components(
     unassigned = G.vertices().localCheckpoint(eager=False)
     result = None
 
-    for _ in range(max_rounds):
+    rounds = 0
+    while True:
         if unassigned.isEmpty():
             break
+        rounds += 1
+        if rounds > max_rounds:
+            # FB-coloring peels ≥1 SCC per round; a graph can need one
+            # round per SCC, so never return a silently-partial result.
+            raise RuntimeError(
+                f"strongly_connected_components did not peel all vertices "
+                f"within max_rounds={max_rounds}; raise max_rounds"
+            )
         edges = (
             all_edges.join(unassigned.withColumnRenamed("vertex", SRC), SRC, "left_semi")
             .join(unassigned.withColumnRenamed("vertex", DST), DST, "left_semi")
@@ -77,6 +86,11 @@ def strongly_connected_components(
             color = new_color.select("vertex", "color")
             if not changed:
                 break
+        if changed:
+            raise RuntimeError(
+                f"SCC color propagation did not reach a fixpoint within "
+                f"max_prop_iters={max_prop_iters}; raise max_prop_iters"
+            )
 
         # 2. backward reach of each root within its color class
         #    (reversed edges restricted to same-color endpoints)

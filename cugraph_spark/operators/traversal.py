@@ -103,6 +103,10 @@ def sssp(
     edges = (
         G.edges.select(SRC, DST, WGT).repartition(P, SRC).persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # one-time contract check (sssp_impl.cuh requires non-negative)
+    if not edges.filter(F.col(WGT) < 0).isEmpty():
+        edges.unpersist()
+        raise ValueError("sssp requires non-negative edge weights")
     state = (
         G.vertices()
         .select(

@@ -7,7 +7,9 @@ relational tables (the analog of extracting the import-link graph from
 the source-code table):
 
 - ``edges_cs``: customer → supplier purchase edges (directed, weighted
-  by Σ quantity; suppliers offset +100000 into a disjoint id space);
+  by Σ quantity; suppliers offset +100_000_000 into a provably disjoint
+  id space — c_custkey stays < 1e8 up to sf≈666, far beyond any scale
+  this sandbox runs);
 - ``edges_nation``: customer-nation → supplier-nation trade edges (25
   vertices, self-loops allowed, non-bipartite — for LPA/BFS/two-hop);
 - ``edges_ss``: supplier–supplier co-supply pairs (undirected, share a
@@ -65,7 +67,7 @@ def edges_cs(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, l["l_orderkey"] == o["o_orderkey"])
         .groupBy(
             F.col("o_custkey").cast("long").alias("src"),
-            (F.col("l_suppkey") + 100000).cast("long").alias("dst"),
+            (F.col("l_suppkey") + 100_000_000).cast("long").alias("dst"),
         )
         .agg(F.sum("l_quantity").cast("double").alias("weight"))
     )
@@ -73,7 +75,7 @@ def edges_cs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EDGES_CS_SQL = """
 SELECT CAST(o_custkey AS BIGINT) AS src,
-       CAST(l_suppkey + 100000 AS BIGINT) AS dst,
+       CAST(l_suppkey + 100000000 AS BIGINT) AS dst,
        CAST(SUM(l_quantity) AS DOUBLE) AS weight
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY 1, 2

@@ -179,10 +179,20 @@ def test_betweenness_sampled_sources(spark):
     from .oracles import betweenness_ref
     from .conftest import edges_df, make_edges
 
+    from pyspark.sql import functions as F
+
     edges = make_edges("line")
     G = Graph(edges_df(spark, edges), directed=True)
     got = {r["vertex"]: r["betweenness_centrality"]
-           for r in betweenness_centrality(G, k=3, normalized=False).collect()}
-    ref = betweenness_ref(edges, directed=True, normalized=False, sources=[0, 1, 2])
+           for r in betweenness_centrality(G, k=3, seed=42, normalized=False).collect()}
+    # expected sources = the k smallest by the same seeded hash rule
+    srcs = [
+        r["vertex"]
+        for r in G.vertices()
+        .orderBy(F.xxhash64(F.col("vertex"), F.lit(42)), F.col("vertex"))
+        .limit(3)
+        .collect()
+    ]
+    ref = betweenness_ref(edges, directed=True, normalized=False, sources=srcs)
     for v, b in got.items():
         assert abs(b - ref[v]) < 1e-9, f"vertex {v}"

@@ -109,3 +109,62 @@ def test_wcc_parallelism_invariant(spark, parts):
     got = {r["vertex"]: r["labels"]
            for r in weakly_connected_components(G, num_partitions=parts).collect()}
     assert base == got
+
+
+@pytest.mark.parametrize("parts", [3, 16])
+def test_random_walks_parallelism_invariant(spark, parts):
+    """Walk ids + draws are counter-based deterministic: identical walk
+    output at any partition count / start-list layout."""
+    from cugraph_spark.operators.sampling import random_walks
+
+    edges = make_edges("weighted")
+    G = Graph(edges_df(spark, edges), directed=True)
+    starts = G.vertices().orderBy("vertex").limit(6)
+    base = sorted(
+        map(tuple, random_walks(G, starts, max_depth=4, seed=7).collect())
+    )
+    starts2 = G.vertices().orderBy("vertex").limit(6).repartition(parts)
+    got = sorted(
+        map(tuple, random_walks(G, starts2, max_depth=4, seed=7).collect())
+    )
+    assert base == got
+
+
+@pytest.mark.parametrize("parts", [3, 16])
+def test_neighbor_sample_parallelism_invariant(spark, parts):
+    from cugraph_spark.operators.sampling import uniform_neighbor_sample
+
+    edges = make_edges("weighted")
+    G = Graph(edges_df(spark, edges), directed=True)
+    starts = G.vertices().orderBy("vertex").limit(6)
+    base = sorted(
+        map(tuple, uniform_neighbor_sample(G, starts, fanout=[3, 2], seed=7).collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            uniform_neighbor_sample(
+                G, starts.repartition(parts), fanout=[3, 2], seed=7
+            ).collect(),
+        )
+    )
+    assert base == got
+
+
+def test_neighbor_sample_with_replacement(spark):
+    """with_replacement=True draws fanout slots per vertex — every
+    sampled row is a real edge, ≤ fanout rows per (src, hop)."""
+    from cugraph_spark.operators.sampling import uniform_neighbor_sample
+
+    edges = make_edges("weighted")
+    G = Graph(edges_df(spark, edges), directed=True)
+    starts = G.vertices().orderBy("vertex").limit(6)
+    rows = uniform_neighbor_sample(
+        G, starts, fanout=[4], seed=7, with_replacement=True
+    ).collect()
+    eset = {(s, d) for s, d, _ in edges}
+    per_src = {}
+    for r in rows:
+        assert (r["src"], r["dst"]) in eset
+        per_src[r["src"]] = per_src.get(r["src"], 0) + 1
+    assert per_src and all(c <= 4 for c in per_src.values())
