@@ -24,6 +24,24 @@ from pyspark.sql import functions as F
 from .text import shingles
 
 
+def _hash64(col, seed: int | None = None, fn: str = "xxhash64"):
+    """64-bit (or 60-bit) keyed hash of a string column.
+
+    ``xxhash64`` (default): JVM-native, the fast production path.
+    ``md5_60``: first 15 hex chars of md5("<seed>:<value>") as a
+    non-negative 60-bit long — bit-for-bit reproducible in ANSI SQL
+    (DuckDB: ``('0x' || substr(md5(...), 1, 15))::BIGINT``), which lets
+    the driver's oracle gate verify the FULL minhash/simhash pipelines
+    value-exactly instead of rows-only. Same distributional quality for
+    min-hashing/banding; ~2-3× slower, so only oracle queries use it."""
+    if fn == "xxhash64":
+        return F.xxhash64(col, F.lit(seed)) if seed is not None else F.xxhash64(col)
+    if fn != "md5_60":
+        raise ValueError(f"unknown hash fn {fn!r}")
+    s = col if seed is None else F.concat_ws(":", F.lit(seed), col)
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
 def exact_duplicates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -57,14 +75,15 @@ def minhash_signatures(
     id_col: str = "doc_id",
     n: int = 3,
     num_hashes: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """[id, sig: array<long>] — minhash over word n-gram shingles;
-    hash family = xxhash64(shingle, seed=i). Documents with no
-    shingles are dropped (nothing to compare)."""
+    hash family = hash64(shingle, seed=i) (see ``_hash64``). Documents
+    with no shingles are dropped (nothing to compare)."""
     sh = shingles(df.select(id_col, text_col), text_col, n=n)
     exploded = sh.select(id_col, F.explode("shingles").alias("g"))
     aggs = [
-        F.min(F.xxhash64(F.col("g"), F.lit(i))).alias(f"h{i}")
+        F.min(_hash64(F.col("g"), i, hash_fn)).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     sig = exploded.groupBy(id_col).agg(*aggs)
@@ -78,6 +97,7 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     bands: int = 16,
     rows_per_band: int = 4,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Candidate pairs [a, b] (a < b) sharing ≥ 1 LSH band bucket.
     Bucket key = (band index, hash of the band's signature slice)."""
@@ -87,9 +107,10 @@ def minhash_lsh_candidates(
             F.array(*[
                 F.struct(
                     F.lit(i).alias("band"),
-                    F.xxhash64(
+                    _hash64(
                         F.concat_ws(",", F.slice("sig", i * rows_per_band + 1, rows_per_band)),
-                        F.lit(i),
+                        i,
+                        hash_fn,
                     ).alias("bucket"),
                 )
                 for i in range(bands)
@@ -175,28 +196,31 @@ def minhash_dedup_pairs(
     n: int = 3,
     num_hashes: int = 64,
     bands: int = 16,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → band candidates
     → exact-Jaccard verify ≥ threshold. Returns [a, b, jaccard]."""
-    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes)
-    cands = minhash_lsh_candidates(sigs, id_col, bands, num_hashes // bands)
+    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes, hash_fn)
+    cands = minhash_lsh_candidates(sigs, id_col, bands, num_hashes // bands, hash_fn)
     return ngram_jaccard_pairs(df, cands, text_col, id_col, n, threshold)
 
 
 def simhash(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """[id, simhash: long] — Charikar simhash over word tokens: for
     each bit, Σ(±1) over token hashes; bit set iff the sum > 0.
     One explode + one groupBy with ``bits`` conditional-sum aggregates
-    (all map-side combinable, JVM-only)."""
+    (all map-side combinable, JVM-only). With ``hash_fn='md5_60'`` use
+    ``bits<=60`` (the portable hash is 60-bit)."""
     toks = df.select(
         F.col(id_col),
         F.explode(
             F.split(F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"[^\w\s]", "")), r"\s+")
         ).alias("t"),
     ).filter(F.length("t") > 0)
-    h = F.xxhash64("t")
+    h = _hash64(F.col("t"), None, hash_fn)
     aggs = [
         F.sum(
             F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -219,15 +243,17 @@ def simhash_near_duplicates(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    bits: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by simhash Hamming distance ≤ max_hamming.
-    Blocking: split the 64-bit hash into (max_hamming+1) chunks — any
-    pair within distance must agree on ≥ 1 chunk exactly (pigeonhole),
-    so the join is on (chunk index, chunk value), never all-pairs.
-    Returns [a, b, hamming]."""
+    Blocking: split the ``bits``-bit hash into (max_hamming+1) chunks —
+    any pair within distance must agree on ≥ 1 chunk exactly
+    (pigeonhole), so the join is on (chunk index, chunk value), never
+    all-pairs. Returns [a, b, hamming]."""
     chunks = max_hamming + 1
-    width = 64 // chunks
-    sims = simhash(df, text_col, id_col)
+    width = bits // chunks
+    sims = simhash(df, text_col, id_col, bits, hash_fn)
     mask = (1 << width) - 1
     blocked = sims.select(
         F.col(id_col).alias("id"),

@@ -36,7 +36,12 @@ L1-diff + next-dangling agg is the ``host_scalar_allreduce`` analog,
 pagerank_impl.cuh:321-330); state checkpoints to parquet/Iceberg every
 ``checkpoint_every`` supersteps for exact resume + lineage truncation.
 Hub skew on ``dst`` is handled by map-side partial aggregation plus AQE
-skew handling; for pathological hubs see ``plans/skew.py``.
+skew handling by default; passing ``salt=k`` switches the SpMV reduce to
+the explicit two-phase salted aggregation in ``plans/skew.py``
+(``groupBy(dst, hash(src)%k)`` → ``groupBy(dst)``), the Spark analog of
+the reference's high-degree segment kernels
+(``cpp/src/structure/renumber_edgelist_impl.cuh:538-565``,
+thresholds ``cpp/include/cugraph/graph_view.hpp:250-253``).
 """
 
 from __future__ import annotations
@@ -84,6 +89,7 @@ def pagerank(
     precomputed_vertex_out_weight: DataFrame | None = None,
     fail_on_nonconvergence: bool = True,
     mode: str = "dataframe",
+    salt: int | None = None,
     num_partitions: int | None = None,
     checkpoint: CheckpointManager | None = None,
     checkpoint_every: int = 10,
@@ -191,11 +197,21 @@ def pagerank(
             # broadcast (small V) / shuffle-hash (large V) keeps the
             # persisted O(E) side unmoved and unsorted every superstep
             rank_side = vertex_join_side(rank_div, V)
-            contribs = (
-                edges.join(rank_side, edges[SRC] == rank_side["vertex"])
-                .groupBy(DST)
-                .agg(F.sum(rank_side["rank_div"] * edges[WGT]).alias("contrib"))
-            )
+            joined = edges.join(rank_side, edges[SRC] == rank_side["vertex"])
+            if salt:
+                from ..plans.skew import salted_sum
+
+                msgs = joined.select(
+                    F.col(DST), F.col(SRC),
+                    (rank_side["rank_div"] * edges[WGT]).alias("msg"),
+                )
+                contribs = salted_sum(
+                    msgs, DST, "msg", out_col="contrib", salt=salt, salt_on=SRC
+                )
+            else:
+                contribs = joined.groupBy(DST).agg(
+                    F.sum(rank_side["rank_div"] * edges[WGT]).alias("contrib")
+                )
 
         # state update joins contribs against the PREVIOUS state (which
         # already carries the old rank), so the L1 convergence diff needs

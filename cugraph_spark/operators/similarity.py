@@ -17,8 +17,11 @@ Spark shape: |∩| for every 2-hop pair falls out of ONE self-join on the
 shared neighbor + groupBy(a,b).count — no per-pair set materialization.
 Degrees join in afterwards. The common-neighbor join's fan-out is
 Σ_w d(w)², the same hub-square term the reference bounds by chunking
-(similarity_impl.cuh processes vertex pairs in batches); at scale, salt
-or chunk the hot shared-neighbor vertices.
+(similarity_impl.cuh processes vertex pairs in batches); shared
+neighbors above ``hub_threshold`` degree are split/salted explicitly
+via ``plans.skew.salted_common_neighbor_join`` so no single task sees a
+full d(w)² block (the pair set itself is unchanged — the output IS the
+fan-out; salting bounds per-task memory, not total work).
 """
 
 from __future__ import annotations
@@ -27,9 +30,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import DST, SRC, Graph
+from ..plans.skew import DEFAULT_HUB_DEGREE, salted_common_neighbor_join
 
 
-def _pair_intersections(G: Graph, pairs: DataFrame | None) -> DataFrame:
+def _pair_intersections(
+    G: Graph,
+    pairs: DataFrame | None,
+    hub_threshold: int = DEFAULT_HUB_DEGREE,
+    salt: int = 16,
+) -> DataFrame:
     """[a, b, isect, d_a, d_b] for requested (or all 2-hop) pairs a<b."""
     und = (
         G.edges.select(SRC, DST)
@@ -37,12 +46,15 @@ def _pair_intersections(G: Graph, pairs: DataFrame | None) -> DataFrame:
         .distinct()
     )
     deg = und.groupBy(F.col(SRC).alias("v")).agg(F.count("*").alias("d"))
-    # common-neighbor join: (a,w) ⋈ (b,w) with a<b → per-pair count
+    # common-neighbor join: (a,w) ⋈ (b,w) with a<b → per-pair count;
+    # hot shared-neighbor keys w are salted (see module docstring)
     e1 = und.select(F.col(SRC).alias("a"), F.col(DST).alias("w"))
     e2 = und.select(F.col(SRC).alias("b"), F.col(DST).alias("w"))
+    joined = salted_common_neighbor_join(
+        e1, e2, "w", hub_threshold=hub_threshold, salt=salt
+    )
     isect = (
-        e1.join(e2, "w")
-        .filter(F.col("a") < F.col("b"))
+        joined.filter(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(F.count("*").alias("isect"))
     )
@@ -60,12 +72,13 @@ def _pair_intersections(G: Graph, pairs: DataFrame | None) -> DataFrame:
     )
 
 
-def jaccard(G: Graph, pairs: DataFrame | None = None) -> DataFrame:
+def jaccard(G: Graph, pairs: DataFrame | None = None,
+            hub_threshold: int = DEFAULT_HUB_DEGREE, salt: int = 16) -> DataFrame:
     """[first, second, jaccard_coeff] (reference column names,
     link_prediction/jaccard.py)."""
     if G.directed:
         raise ValueError("jaccard requires an undirected graph")
-    pi = _pair_intersections(G, pairs)
+    pi = _pair_intersections(G, pairs, hub_threshold, salt)
     return pi.select(
         F.col("a").alias("first"),
         F.col("b").alias("second"),
@@ -73,11 +86,12 @@ def jaccard(G: Graph, pairs: DataFrame | None = None) -> DataFrame:
     )
 
 
-def overlap(G: Graph, pairs: DataFrame | None = None) -> DataFrame:
+def overlap(G: Graph, pairs: DataFrame | None = None,
+            hub_threshold: int = DEFAULT_HUB_DEGREE, salt: int = 16) -> DataFrame:
     """[first, second, overlap_coeff]."""
     if G.directed:
         raise ValueError("overlap requires an undirected graph")
-    pi = _pair_intersections(G, pairs)
+    pi = _pair_intersections(G, pairs, hub_threshold, salt)
     return pi.select(
         F.col("a").alias("first"),
         F.col("b").alias("second"),
@@ -85,11 +99,12 @@ def overlap(G: Graph, pairs: DataFrame | None = None) -> DataFrame:
     )
 
 
-def sorensen(G: Graph, pairs: DataFrame | None = None) -> DataFrame:
+def sorensen(G: Graph, pairs: DataFrame | None = None,
+            hub_threshold: int = DEFAULT_HUB_DEGREE, salt: int = 16) -> DataFrame:
     """[first, second, sorensen_coeff]."""
     if G.directed:
         raise ValueError("sorensen requires an undirected graph")
-    pi = _pair_intersections(G, pairs)
+    pi = _pair_intersections(G, pairs, hub_threshold, salt)
     return pi.select(
         F.col("a").alias("first"),
         F.col("b").alias("second"),

@@ -18,10 +18,13 @@ the source-code table):
 Every Spark query has a column-name-aligned ANSI-SQL oracle (DuckDB)
 built on the same derivations; iterative algorithms are oracled by
 *unrolling* a fixed number of supersteps into nested CTEs (exact same
-arithmetic), and fixpoint algorithms (WCC) by a recursive-CTE
-transitive closure. Doubles are rounded (and +0.0 normalized) on both
-sides before hashing. Queries whose Spark plan uses xxhash64 (minhash,
-simhash, fingerprints) have no SQL twin → rows-only checks.
+arithmetic), fixpoint algorithms (WCC, SCC, MST component merge) by
+recursive-CTE transitive closures, and randomized/hash operators
+either by switching the Spark side to the SQL-portable 60-bit md5
+hash (minhash, simhash — see ``oracle_builders``) or by emitting
+SQL-checkable invariant summaries (walks, neighbor samples, MIS).
+Doubles are rounded (and +0.0 normalized) on both sides before
+hashing. Every queries() entry has an oracle_sql() twin.
 """
 
 from __future__ import annotations
@@ -29,13 +32,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import oracle_builders as ob
 from .graph import Graph
-from .operators.centrality import hits, katz_centrality
+from .operators.centrality import (
+    degree_centrality,
+    eigenvector_centrality,
+    hits,
+    katz_centrality,
+)
 from .operators.cores import core_number
 from .operators.label_propagation import label_propagation
 from .operators.pagerank import pagerank
-from .operators.similarity import jaccard
-from .operators.traversal import bfs, sssp
+from .operators.similarity import jaccard, overlap, sorensen
+from .operators.traversal import bfs, k_hop_neighbors, sssp
 from .operators.triangle_count import edge_triangle_count, triangle_count
 from .operators.wcc import weakly_connected_components
 from .functions.ann import cosine_topk_bruteforce, lsh_bucket, _dot, _norm
@@ -52,6 +61,8 @@ PR_ITERS = 5
 KATZ_ALPHA = 0.01
 KATZ_ITERS = 3
 LPA_ITERS = 2
+HITS_ITERS = 3
+EIG_ITERS = 3
 
 
 # ---------------------------------------------------------------- tables
@@ -427,21 +438,44 @@ WHERE e1.src <> e2.dst
 """
 
 
-# rows-only (non-SQL-expressible: xxhash64-based or long fixpoints)
-
 def q_core_number(spark, sf_dir):
+    """Spark runs the h-index fixpoint to convergence; the SQL twin
+    unrolls it past the fixpoint — both equal the exact core numbers."""
     e = edges_ss(spark, sf_dir)
     G = Graph(e, directed=False, weighted=True)
     return core_number(G)
 
 
 def q_hits(spark, sf_dir):
+    """Fixed 3 supersteps (tol=0) so the SQL twin can unroll the exact
+    same arithmetic (mirrors the reference pytest practice of fixed
+    max_iter comparisons)."""
     e = edges_cs(spark, sf_dir)
     G = Graph(e, directed=True, weighted=True)
-    return hits(G, max_iter=20, tol=1e-7).select(
+    return hits(G, max_iter=HITS_ITERS, tol=0.0).select(
         "vertex",
         (F.round("hubs", 8) + F.lit(0.0)).alias("hubs"),
         (F.round("authorities", 8) + F.lit(0.0)).alias("authorities"),
+    )
+
+
+def q_eigenvector(spark, sf_dir):
+    # nation graph: cyclic, so the power iteration stays nonzero
+    # (edges_cs is a 2-layer DAG where (A^T)^2 = 0)
+    e = edges_nation(spark, sf_dir)
+    G = Graph(e, directed=True, weighted=True)
+    return eigenvector_centrality(G, max_iter=EIG_ITERS, tol=0.0).select(
+        "vertex",
+        (F.round("eigenvector_centrality", 8) + F.lit(0.0)).alias("eigenvector_centrality"),
+    )
+
+
+def q_degree_centrality(spark, sf_dir):
+    e = edges_cs(spark, sf_dir)
+    G = Graph(e, directed=True, weighted=True)
+    return degree_centrality(G).select(
+        "vertex",
+        (F.round("degree_centrality", 8) + F.lit(0.0)).alias("degree_centrality"),
     )
 
 
@@ -450,6 +484,40 @@ def q_sssp(spark, sf_dir):
     G = Graph(e, directed=True, weighted=True)
     return sssp(G, source=0).select(
         "vertex", (F.round("distance", 6) + F.lit(0.0)).alias("distance")
+    )
+
+
+def q_overlap(spark, sf_dir):
+    e = edges_ss(spark, sf_dir)
+    G = Graph(e, directed=False, weighted=True)
+    return overlap(G).select(
+        "first", "second", (F.round("overlap_coeff", 6) + F.lit(0.0)).alias("overlap_coeff")
+    )
+
+
+def q_sorensen(spark, sf_dir):
+    e = edges_ss(spark, sf_dir)
+    G = Graph(e, directed=False, weighted=True)
+    return sorensen(G).select(
+        "first", "second", (F.round("sorensen_coeff", 6) + F.lit(0.0)).alias("sorensen_coeff")
+    )
+
+
+def q_k_hop(spark, sf_dir):
+    e = edges_nation(spark, sf_dir)
+    G = Graph(e, directed=True, weighted=True)
+    seeds = G.vertices().orderBy("vertex").limit(3)
+    return k_hop_neighbors(G, seeds, k=2)
+
+
+def q_ego_graph(spark, sf_dir):
+    from .operators.community import ego_graph
+
+    e = edges_nation(spark, sf_dir)
+    G = Graph(e, directed=True, weighted=True)
+    seeds = G.vertices().orderBy("vertex").limit(3)
+    return ego_graph(G, seeds, radius=1).select(
+        "seed", "src", "dst", (F.round("weight", 6) + F.lit(0.0)).alias("weight")
     )
 
 
@@ -578,16 +646,22 @@ WHERE CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i) >= 0.2
 """
 
 
-def q_minhash_pairs(spark, sf_dir):  # rows-only: xxhash64 has no SQL twin
+def q_minhash_pairs(spark, sf_dir):
+    """Full MinHash-LSH pipeline on the portable md5-60 hash so DuckDB
+    recomputes signatures, bands, candidates AND the Jaccard verify
+    value-exactly (production default stays xxhash64 — same pipeline,
+    faster hash; see functions/dedup.py:_hash64)."""
     docs = _read(spark, sf_dir, "documents")
-    return minhash_dedup_pairs(docs, threshold=0.5).select(
+    return minhash_dedup_pairs(docs, threshold=0.5, hash_fn="md5_60").select(
         "a", "b", (F.round("jaccard", 6) + F.lit(0.0)).alias("jaccard")
     )
 
 
-def q_simhash_pairs(spark, sf_dir):  # rows-only
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash + pigeonhole blocking on the portable 60-bit md5 hash —
+    value-exact DuckDB twin (production default stays xxhash64/64-bit)."""
     docs = _read(spark, sf_dir, "documents")
-    return simhash_near_duplicates(docs, max_hamming=8)
+    return simhash_near_duplicates(docs, max_hamming=8, bits=60, hash_fn="md5_60")
 
 
 def q_embedding_norms(spark, sf_dir):
@@ -633,19 +707,24 @@ SELECT vec_id, nn_id, ROUND(cos, 4) + 0.0 AS cosine FROM best WHERE rn = 1
 """
 
 
-def q_embedding_lsh_buckets(spark, sf_dir):  # rows-only (hash planes)
+def q_embedding_lsh_buckets(spark, sf_dir):
+    """Sign-LSH buckets; the SQL twin embeds the same deterministic
+    hyperplane literals with an identical-order dot-product sum."""
     emb = _read(spark, sf_dir, "embeddings")
     return lsh_bucket(emb, n_planes=8).select("vec_id", "lsh_bucket")
 
 
-# ------------------------------- community / sampling / tree (rows-only)
+# --------------------------------------- community / sampling / tree
 
 def q_louvain(spark, sf_dir):
+    """Level-1 Louvain (2 synchronous move rounds + the modularity
+    acceptance gate) — SQL-unrollable exactly; the multi-level loop is
+    covered by the pytest modularity oracle (tests/oracles.py)."""
     from .operators.community import louvain
 
     e = edges_nation(spark, sf_dir)
     G = Graph(e, directed=False, weighted=True)
-    labels, _q = louvain(G)
+    labels, _q = louvain(G, max_levels=1, max_iter_per_level=2)
     return labels
 
 
@@ -668,12 +747,49 @@ def q_k_truss(spark, sf_dir):
 
 
 def q_random_walks(spark, sf_dir):
+    """Invariant-checked walks: runs real random_walks then reduces to
+    a per-walk summary that SQL can predict exactly on this graph —
+    walk ids are sorted-start ordinals; every start (a customer) has
+    out-edges and every out-neighbor (a supplier) is a sink, so each
+    walk is exactly 2 rows; bad_steps anti-joins every consecutive
+    step pair against the edge list (must be 0)."""
     from .operators.sampling import random_walks
 
     e = edges_cs(spark, sf_dir)
     G = Graph(e, directed=True, weighted=True)
     starts = G.vertices().orderBy("vertex").limit(16)
-    return random_walks(G, starts, max_depth=3, seed=42)
+    w = random_walks(G, starts, max_depth=3, seed=42)
+    a, b = w.alias("a"), w.alias("b")
+    hops = a.join(
+        b,
+        (F.col("a.walk_id") == F.col("b.walk_id"))
+        & (F.col("b.step") == F.col("a.step") + 1),
+    ).select(
+        F.col("a.walk_id").alias("walk_id"),
+        F.col("a.vertex").alias("vs"),
+        F.col("b.vertex").alias("vd"),
+    )
+    bad = (
+        hops.join(
+            G.edges,
+            (hops["vs"] == G.edges["src"]) & (hops["vd"] == G.edges["dst"]),
+            "left_anti",
+        )
+        .groupBy("walk_id")
+        .agg(F.count("*").alias("bad"))
+    )
+    return (
+        w.groupBy("walk_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min(F.when(F.col("step") == 0, F.col("vertex"))).alias("start_vertex"),
+        )
+        .join(bad, "walk_id", "left")
+        .select(
+            "walk_id", "start_vertex", "n_rows",
+            F.coalesce("bad", F.lit(0)).cast("long").alias("bad_steps"),
+        )
+    )
 
 
 def q_scc(spark, sf_dir):
@@ -685,11 +801,28 @@ def q_scc(spark, sf_dir):
 
 
 def q_mis(spark, sf_dir):
+    """Invariant-checked MIS: runs real Luby MIS then emits the
+    per-vertex local condition — in-set vertices have no in-set
+    neighbor (independence), out-of-set vertices have one
+    (maximality). SQL expects all-true."""
     from .operators.mis import maximal_independent_set
 
     e = edges_ss(spark, sf_dir)
     G = Graph(e, directed=False, weighted=True)
-    return maximal_independent_set(G)
+    mis = maximal_independent_set(G)
+    m = mis.select(F.col("vertex").alias("nv"), F.col("in_mis").alias("nbr_mis"))
+    nbr = (
+        G.edges.join(m, G.edges["dst"] == m["nv"])
+        .groupBy("src")
+        .agg(F.max("nbr_mis").alias("has_mis_nbr"))
+        .withColumnRenamed("src", "vertex")
+    )
+    return mis.join(nbr, "vertex", "left").select(
+        "vertex",
+        F.when(
+            F.col("in_mis"), ~F.coalesce("has_mis_nbr", F.lit(False))
+        ).otherwise(F.coalesce("has_mis_nbr", F.lit(False))).alias("ok"),
+    )
 
 
 def q_betweenness(spark, sf_dir):
@@ -704,13 +837,31 @@ def q_betweenness(spark, sf_dir):
 
 
 def q_neighbor_sample(spark, sf_dir):
+    """Invariant-checked neighbor sampling: per (src, hop) the sample
+    must contain exactly min(fanout, out_degree) DISTINCT real edges;
+    hop 1 is empty on this bipartite graph (sampled dsts are sinks)."""
     from .operators.sampling import uniform_neighbor_sample
 
     e = edges_cs(spark, sf_dir)
     G = Graph(e, directed=True, weighted=True)
     starts = G.vertices().orderBy("vertex").limit(16)
-    return uniform_neighbor_sample(G, starts, fanout=[4, 2], seed=42).select(
-        "src", "dst", (F.round("weight", 6) + F.lit(0.0)).alias("weight"), "hop"
+    s = uniform_neighbor_sample(G, starts, fanout=[4, 2], seed=42)
+    bad = (
+        s.join(G.edges.select("src", "dst"), ["src", "dst"], "left_anti")
+        .groupBy("src", "hop")
+        .agg(F.count("*").alias("bad"))
+    )
+    return (
+        s.groupBy("src", "hop")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("dst").alias("n_distinct"),
+        )
+        .join(bad, ["src", "hop"], "left")
+        .select(
+            "src", "hop", "n_rows", "n_distinct",
+            F.coalesce("bad", F.lit(0)).cast("long").alias("bad_edges"),
+        )
     )
 
 
@@ -732,7 +883,13 @@ def queries():
         "two_hop": q_two_hop,
         "core_number": q_core_number,
         "hits": q_hits,
+        "eigenvector3": q_eigenvector,
+        "degree_centrality": q_degree_centrality,
         "sssp": q_sssp,
+        "overlap": q_overlap,
+        "sorensen": q_sorensen,
+        "k_hop2": q_k_hop,
+        "ego_graph": q_ego_graph,
         "doc_language": q_doc_language,
         "doc_tokens": q_doc_tokens,
         "doc_quality": q_doc_quality,
@@ -775,7 +932,26 @@ def oracle_sql():
         "doc_ngram_jaccard": Q_DOC_NGRAM_SQL,
         "embedding_norms": Q_EMBEDDING_NORMS_SQL,
         "cosine_top1": Q_COSINE_TOP1_SQL,
-        # core_number / hits / sssp / minhash / simhash / lsh_buckets:
-        # intentionally no SQL twin (xxhash64 or unbounded fixpoint) →
-        # rows-only checks.
+        # round-2 additions: every remaining query gets a twin
+        "core_number": ob.core_number_sql(EDGES_SS_SQL, iters=6),
+        "hits": ob.hits_sql(EDGES_CS_SQL, iters=HITS_ITERS),
+        "eigenvector3": ob.eigenvector_sql(EDGES_NATION_SQL, iters=EIG_ITERS),
+        "degree_centrality": ob.degree_centrality_sql(EDGES_CS_SQL),
+        "sssp": ob.sssp_sql(EDGES_NATION_SQL, source=0, iters=10),
+        "overlap": ob.similarity_sql(EDGES_SS_SQL, "overlap"),
+        "sorensen": ob.similarity_sql(EDGES_SS_SQL, "sorensen"),
+        "k_hop2": ob.k_hop_sql(EDGES_NATION_SQL, n_seeds=3, k=2),
+        "ego_graph": ob.ego_graph_sql(EDGES_NATION_SQL, n_seeds=3, radius=1),
+        "scc": ob.scc_sql(EDGES_NATION_SQL),
+        "mst": ob.mst_sql(EDGES_NATION_SQL, rounds=5),
+        "k_truss": ob.k_truss_sql(EDGES_NATION_SQL, k=4, iters=4),
+        "louvain": ob.louvain_level_sql(EDGES_NATION_SQL, inner_iters=2),
+        "betweenness": ob.betweenness_sql(EDGES_NATION_SQL, depth=6),
+        "random_walks": ob.walk_invariants_sql(EDGES_CS_SQL, n_starts=16, expected_rows=2),
+        "neighbor_sample": ob.neighbor_sample_invariants_sql(
+            EDGES_CS_SQL, n_starts=16, fanout0=4),
+        "mis": ob.mis_invariants_sql(EDGES_SS_SQL),
+        "minhash_pairs": ob.minhash_sql(threshold=0.5),
+        "simhash_pairs": ob.simhash_sql(max_hamming=8, bits=60),
+        "embedding_lsh_buckets": ob.lsh_buckets_sql(dim=64, n_planes=8, seed=42),
     }
