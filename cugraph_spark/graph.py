@@ -133,6 +133,39 @@ def unrenumber(result: DataFrame, mapping: DataFrame, col: str = "vertex") -> Da
     return result.join(mapping, result[col] == mapping["id"]).select(*out_cols)
 
 
+def relabel(
+    df: DataFrame, mapping: DataFrame, cols: list[str] | None = None
+) -> DataFrame:
+    """Apply an old→new label mapping to the given columns (standalone
+    analog of cugraph ``structure/relabel_impl.cuh``, used e.g. by WCC's
+    label push-down at weakly_connected_components_impl.cuh:739-754).
+
+    ``mapping``: DataFrame [old, new]; values absent from the mapping
+    pass through unchanged. One broadcast-or-shuffle join per column."""
+    cols = cols if cols is not None else [df.columns[0]]
+    m = mapping.select(F.col(mapping.columns[0]).alias("__old"),
+                       F.col(mapping.columns[1]).alias("__new"))
+    out = df
+    for c in cols:
+        out = (
+            out.join(m, out[c] == m["__old"], "left")
+            .withColumn(c, F.coalesce("__new", F.col(c)))
+            .drop("__old", "__new")
+        )
+    return out
+
+
+def replicate_edgelist(edges: DataFrame) -> DataFrame:
+    """Mark the edge list for replication to every worker — the Spark
+    analog of cugraph ``structure/replicate_edgelist.py`` /
+    ``pylibcugraph/replicate_edgelist.pyx`` (broadcast to all GPUs) is
+    simply the broadcast-join hint: downstream joins against the
+    returned DataFrame ship the whole edge list to each task instead of
+    shuffling. Only sensible for small edge lists (Spark enforces the
+    broadcast size limit)."""
+    return F.broadcast(edges)
+
+
 class Graph:
     """Property-less directed/undirected multigraph over an edge DataFrame.
 
@@ -189,6 +222,31 @@ class Graph:
     @classmethod
     def from_pandas_edgelist(cls, spark, pdf, **kw) -> "Graph":
         return cls.from_edgelist(spark.createDataFrame(pdf), **kw)
+
+    @classmethod
+    def from_adjlist(
+        cls,
+        spark,
+        offsets,
+        indices,
+        weights=None,
+        directed: bool = True,
+    ) -> "Graph":
+        """CSR ingest (cugraph ``from_cudf_adjlist``,
+        graph_classes.py:206-272 / simpleGraph.py:538-556): ``offsets``
+        is the length-(V+1) row-pointer array, ``indices`` the column
+        ids, ``weights`` optional. Like the reference this is a
+        driver-side array convenience constructor — the arrays are
+        decompressed to the COO edge DataFrame the engine runs on
+        (CSR at scale is an internal per-partition execution artifact,
+        SURVEY.md §1.6, never a user-facing ingest format)."""
+        rows = []
+        for v in range(len(offsets) - 1):
+            for p in range(int(offsets[v]), int(offsets[v + 1])):
+                w = float(weights[p]) if weights is not None else 1.0
+                rows.append((v, int(indices[p]), w))
+        e = spark.createDataFrame(rows, schema="src long, dst long, weight double")
+        return cls(e, directed=directed, weighted=weights is not None)
 
     # ---- introspection (simpleGraph.py:808-855,1278-1369) ----
 

@@ -72,6 +72,112 @@ def modularity(G: Graph, labels: DataFrame, resolution: float = 1.0) -> float:
     return float(row["a"] - resolution * row["b"])
 
 
+def _move_phase(
+    edges: DataFrame,
+    two_m: float,
+    max_iter: int,
+    resolution: float,
+    min_gain: float,
+    init_labels: DataFrame | None = None,
+    move_mask_seed: int | None = None,
+) -> DataFrame:
+    """Synchronous best-modularity-gain label moves (the louvain_impl.cuh
+    move kernel): per round every vertex adopts the neighbor community
+    with the highest gain (min-label tie-break), until stable. Returns
+    [vertex, k, labels].
+
+    ``init_labels``: optional [vertex, labels] starting assignment
+    (Leiden seeds the next level's moves with the previous move
+    communities). ``move_mask_seed``: if set, each round only vertices
+    with ``xxhash64(vertex, round, seed) % 2 == 0`` may move — the
+    synchronous-engine analog of randomized sequential visit order
+    (used by the ECG ensemble to diversify runs; Poulin & Théberge
+    2018 randomize exactly this greedy order)."""
+    verts = (
+        edges.select(F.col(SRC).alias("vertex"))
+        .unionByName(edges.select(F.col(DST).alias("vertex")))
+        .distinct()
+    )
+    k = edges.groupBy(F.col(SRC).alias("vertex")).agg(F.sum(WGT).alias("k"))
+    state = verts.join(k, "vertex", "left").select(
+        "vertex", F.coalesce("k", F.lit(0.0)).alias("k")
+    )
+    if init_labels is None:
+        state = state.withColumn("labels", F.col("vertex"))
+    else:
+        il = init_labels.select(
+            F.col("vertex").alias("iv"), F.col("labels").alias("il")
+        )
+        state = state.join(il, state["vertex"] == F.col("iv")).select(
+            "vertex", "k", F.col("il").alias("labels")
+        )
+    state = state.localCheckpoint(eager=False)
+
+    for rnd in range(max_iter):
+        # community volumes Σ_tot
+        sigma = (
+            state.groupBy("labels").agg(F.sum("k").alias("sigma"))
+            .withColumnRenamed("labels", "sig_l")
+        )
+        lab = state.select(F.col("vertex").alias("nv"), F.col("labels").alias("nl"))
+        # per (vertex, neighbor community): Σ weight into that community
+        knc = (
+            edges.filter(F.col(SRC) != F.col(DST))
+            .join(lab, F.col(DST) == F.col("nv"))
+            .groupBy(F.col(SRC).alias("vertex"), F.col("nl").alias("cand"))
+            .agg(F.sum(WGT).alias("k_in"))
+        )
+        # gain ∝ k_in − γ·k_v·(σ_cand \ v)/2m ; staying counts too.
+        # All columns renamed to unique names before the joins —
+        # knc/sigma both descend from `state`, so attribute
+        # references would be ambiguous self-join refs.
+        stt = state.select(
+            "vertex", F.col("k").alias("k_v"), F.col("labels").alias("cur")
+        )
+        scored = (
+            knc.join(stt, "vertex")
+            .join(sigma, F.col("cand") == F.col("sig_l"))
+            .select(
+                "vertex", "cand", "cur",
+                (
+                    F.col("k_in")
+                    - F.lit(resolution) * F.col("k_v")
+                    * (F.col("sigma") - F.when(F.col("cand") == F.col("cur"), F.col("k_v")).otherwise(0.0))
+                    / F.lit(two_m)
+                ).alias("gain"),
+            )
+        )
+        best = scored.groupBy("vertex").agg(
+            F.max(F.struct(F.col("gain"), (-F.col("cand")).alias("nc"))).alias("m")
+        ).select(
+            "vertex",
+            (-F.col("m.nc")).alias("new_label"),
+            F.col("m.gain").alias("best_gain"),
+        )
+        may_move = F.lit(True) if move_mask_seed is None else (
+            F.pmod(F.xxhash64(F.col("vertex"), F.lit(rnd), F.lit(move_mask_seed)), F.lit(2)) == 0
+        )
+        new_state = (
+            state.join(best, "vertex", "left")
+            .select(
+                "vertex", "k",
+                F.when(
+                    (F.col("best_gain") > F.lit(min_gain)) & may_move,
+                    F.col("new_label"),
+                ).otherwise(F.col("labels")).alias("labels"),
+                state["labels"].alias("old"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = new_state.agg(
+            F.sum(F.when(F.col("labels") != F.col("old"), 1).otherwise(0))
+        ).first()[0]
+        state = new_state.select("vertex", "k", "labels")
+        if not changed:
+            break
+    return state
+
+
 def louvain(
     G: Graph,
     max_levels: int = 10,
@@ -98,77 +204,7 @@ def louvain(
         if not two_m:
             edges.unpersist()
             break
-        verts = (
-            edges.select(F.col(SRC).alias("vertex"))
-            .unionByName(edges.select(F.col(DST).alias("vertex")))
-            .distinct()
-        )
-        k = edges.groupBy(F.col(SRC).alias("vertex")).agg(F.sum(WGT).alias("k"))
-        state = (
-            verts.join(k, "vertex", "left")
-            .select("vertex", F.coalesce("k", F.lit(0.0)).alias("k"),
-                    F.col("vertex").alias("labels"))
-            .localCheckpoint(eager=False)
-        )
-
-        for _ in range(max_iter_per_level):
-            # community volumes Σ_tot
-            sigma = (
-                state.groupBy("labels").agg(F.sum("k").alias("sigma"))
-                .withColumnRenamed("labels", "sig_l")
-            )
-            lab = state.select(F.col("vertex").alias("nv"), F.col("labels").alias("nl"))
-            # per (vertex, neighbor community): Σ weight into that community
-            knc = (
-                edges.filter(F.col(SRC) != F.col(DST))
-                .join(lab, F.col(DST) == F.col("nv"))
-                .groupBy(F.col(SRC).alias("vertex"), F.col("nl").alias("cand"))
-                .agg(F.sum(WGT).alias("k_in"))
-            )
-            # gain ∝ k_in − γ·k_v·(σ_cand \ v)/2m ; staying counts too.
-            # All columns renamed to unique names before the joins —
-            # knc/sigma both descend from `state`, so attribute
-            # references would be ambiguous self-join refs.
-            stt = state.select(
-                "vertex", F.col("k").alias("k_v"), F.col("labels").alias("cur")
-            )
-            scored = (
-                knc.join(stt, "vertex")
-                .join(sigma, F.col("cand") == F.col("sig_l"))
-                .select(
-                    "vertex", "cand", "cur",
-                    (
-                        F.col("k_in")
-                        - F.lit(resolution) * F.col("k_v")
-                        * (F.col("sigma") - F.when(F.col("cand") == F.col("cur"), F.col("k_v")).otherwise(0.0))
-                        / F.lit(two_m)
-                    ).alias("gain"),
-                )
-            )
-            best = scored.groupBy("vertex").agg(
-                F.max(F.struct(F.col("gain"), (-F.col("cand")).alias("nc"))).alias("m")
-            ).select(
-                "vertex",
-                (-F.col("m.nc")).alias("new_label"),
-                F.col("m.gain").alias("best_gain"),
-            )
-            new_state = (
-                state.join(best, "vertex", "left")
-                .select(
-                    "vertex", "k",
-                    F.when(
-                        F.col("best_gain") > F.lit(min_gain), F.col("new_label")
-                    ).otherwise(F.col("labels")).alias("labels"),
-                    state["labels"].alias("old"),
-                )
-                .localCheckpoint(eager=False)
-            )
-            changed = new_state.agg(
-                F.sum(F.when(F.col("labels") != F.col("old"), 1).otherwise(0))
-            ).first()[0]
-            state = new_state.select("vertex", "k", "labels")
-            if not changed:
-                break
+        state = _move_phase(edges, two_m, max_iter_per_level, resolution, min_gain)
 
         # push level labels down to original vertices
         level_lab = state.select(F.col("vertex").alias("lv"), F.col("labels").alias("ll"))
@@ -192,9 +228,214 @@ def louvain(
             break
         assignment = candidate
         best_q = q
-        cur_edges = coarse
+        cur_edges = coarse.localCheckpoint(eager=False)
 
     return assignment.select("vertex", "labels"), best_q
+
+
+def _refine_partition(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Leiden refinement: split every move-community into its connected
+    components (hash-min label propagation over edges restricted to
+    same-community endpoints; refined label = min vertex id in the
+    component). This enforces Leiden's headline guarantee — every
+    returned community is internally connected (Traag, Waltman &
+    van Eck 2019; reference ``community/leiden_impl.cuh`` refinement
+    phase) — and splitting a disconnected community can only increase
+    modularity (in-weights unchanged, Σdeg² strictly drops).
+    Returns [vertex, refined]."""
+    lab = labels.select(F.col("vertex").alias("lv"), F.col("labels").alias("ll"))
+    intra = (
+        edges.filter(F.col(SRC) != F.col(DST))
+        .join(lab.withColumnRenamed("lv", SRC).withColumnRenamed("ll", "l_src"), SRC)
+        .join(lab.withColumnRenamed("lv", DST).withColumnRenamed("ll", "l_dst"), DST)
+        .filter(F.col("l_src") == F.col("l_dst"))
+        .select(SRC, DST)
+        .localCheckpoint(eager=False)
+    )
+    state = labels.select("vertex", F.col("vertex").alias("refined")).localCheckpoint(
+        eager=False
+    )
+    while True:
+        msgs = (
+            intra.join(state.withColumnRenamed("vertex", SRC)
+                       .withColumnRenamed("refined", "r_src"), SRC)
+            .groupBy(DST)
+            .agg(F.min("r_src").alias("nbr_min"))
+        )
+        new_state = (
+            state.join(msgs, state["vertex"] == msgs[DST], "left")
+            .select(
+                state["vertex"],
+                F.least(
+                    state["refined"], F.coalesce("nbr_min", state["refined"])
+                ).alias("refined"),
+                state["refined"].alias("old"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = new_state.agg(
+            F.sum(F.when(F.col("refined") != F.col("old"), 1).otherwise(0))
+        ).first()[0]
+        state = new_state.select("vertex", "refined")
+        if not changed:
+            break
+    return state
+
+
+def leiden(
+    G: Graph,
+    max_levels: int = 10,
+    max_iter_per_level: int = 10,
+    resolution: float = 1.0,
+    min_gain: float = 1.0e-7,
+) -> tuple[DataFrame, float]:
+    """Leiden community detection (reference
+    ``community/leiden_impl.cuh``, python ``community/leiden.py``;
+    Traag et al. 2019): per level (1) Louvain move phase, (2)
+    **refinement** — move-communities split into connected components,
+    (3) aggregation by the REFINED partition with the next level's
+    moves seeded from the move-community of each refined node (the
+    Leiden aggregation rule that distinguishes it from Louvain).
+    Returns ([vertex, labels], modularity); every community is
+    internally connected."""
+    if G.directed:
+        raise ValueError("leiden requires an undirected graph")
+
+    assignment = G.vertices().withColumn("labels", F.col("vertex"))
+    cur_edges = G.edges
+    best_q = modularity(G, assignment, resolution)
+    seed_labels = None  # move-phase init for the current level
+
+    for _level in range(max_levels):
+        edges = cur_edges.persist(StorageLevel.MEMORY_AND_DISK)
+        two_m = edges.agg(F.sum(WGT)).first()[0]
+        if not two_m:
+            edges.unpersist()
+            break
+        n_cur = (
+            edges.select(F.col(SRC).alias("v"))
+            .unionByName(edges.select(F.col(DST).alias("v")))
+            .distinct()
+            .count()
+        )
+        moved = _move_phase(
+            edges, two_m, max_iter_per_level, resolution, min_gain,
+            init_labels=seed_labels,
+        )
+        move_labels = moved.select("vertex", "labels")
+        refined = _refine_partition(edges, move_labels)  # [vertex, refined]
+        n_refined = refined.select("refined").distinct().count()
+
+        # push refined labels down to original vertices
+        rl = refined.select(F.col("vertex").alias("lv"), F.col("refined").alias("ll"))
+        candidate = (
+            assignment.join(rl, assignment["labels"] == rl["lv"])
+            .select(assignment["vertex"], F.col("ll").alias("labels"))
+            .localCheckpoint(eager=False)
+        )
+        q = modularity(G, candidate, resolution)
+
+        # aggregate by refined partition; seed next level's move phase
+        # with each refined node's MOVE community (Leiden aggregation)
+        coarse = coarsen_graph(
+            _as_graph(cur_edges, G), refined.withColumnRenamed("refined", "labels")
+        )
+        seed_labels = (
+            refined.join(move_labels.withColumnRenamed("vertex", "mv"),
+                         refined["vertex"] == F.col("mv"))
+            .groupBy(F.col("refined").alias("vertex"))
+            .agg(F.min("labels").alias("labels"))
+            .localCheckpoint(eager=False)
+        )
+        edges.unpersist()
+        if q <= best_q + min_gain:
+            if q > best_q:
+                assignment = candidate
+                best_q = q
+            break
+        assignment = candidate
+        best_q = q
+        if n_refined >= n_cur:
+            # no contraction — the partition is stable; further levels
+            # would redo the same moves on the same graph
+            break
+        # localCheckpoint truncates the per-level lineage so level L's
+        # move phase does not re-analyze levels 0..L-1 (SURVEY.md §7.3.1)
+        cur_edges = coarse.localCheckpoint(eager=False)
+
+    return assignment.select("vertex", "labels"), best_q
+
+
+def ecg(
+    G: Graph,
+    min_weight: float = 0.05,
+    ensemble_size: int = 16,
+    resolution: float = 1.0,
+    seed: int = 42,
+) -> tuple[DataFrame, float]:
+    """Ensemble Clustering for Graphs (reference
+    ``community/ecg_impl.cuh``, python ``community/ecg.py``; Poulin &
+    Théberge, arXiv:1809.05578): run level-1 Louvain on
+    ``ensemble_size`` randomized variants (here: seeded per-round move
+    masks standing in for randomized visit order — each run is
+    deterministic given its seed), re-weight each edge by its
+    co-membership vote share w' = min_weight + (1−min_weight)·votes/k
+    for 2-core edges (non-2-core edges get min_weight, per the paper),
+    then run full Louvain on the re-weighted graph.
+    Returns ([vertex, labels], modularity on the ORIGINAL weights)."""
+    if G.directed:
+        raise ValueError("ecg requires an undirected graph")
+    from .cores import core_number
+
+    edges = G.edges.persist(StorageLevel.MEMORY_AND_DISK)
+    two_m = edges.agg(F.sum(WGT)).first()[0]
+    if not two_m:
+        edges.unpersist()
+        return G.vertices().withColumn("labels", F.col("vertex")), 0.0
+
+    votes = None
+    for i in range(ensemble_size):
+        part = _move_phase(
+            edges, two_m, max_iter=3, resolution=resolution,
+            min_gain=1.0e-7, move_mask_seed=seed + i,
+        ).select(F.col("vertex").alias("pv"), F.col("labels").alias("pl"))
+        co = (
+            edges.join(part.withColumnRenamed("pv", SRC)
+                       .withColumnRenamed("pl", "l_src"), SRC)
+            .join(part.withColumnRenamed("pv", DST)
+                  .withColumnRenamed("pl", "l_dst"), DST)
+            .select(
+                SRC, DST,
+                F.when(F.col("l_src") == F.col("l_dst"), 1).otherwise(0).alias("v"),
+            )
+        )
+        votes = co if votes is None else (
+            votes.unionByName(co).groupBy(SRC, DST).agg(F.sum("v").alias("v"))
+        )
+        votes = votes.localCheckpoint(eager=False)
+
+    cn = core_number(G)
+    core2 = cn.filter(F.col("core_number") >= 2).select("vertex")
+    in2 = (
+        votes.join(core2.withColumnRenamed("vertex", SRC), SRC, "left_semi")
+        .join(core2.withColumnRenamed("vertex", DST), DST, "left_semi")
+        .withColumn("in2core", F.lit(True))
+    )
+    reweighted = (
+        votes.join(in2.select(SRC, DST, "in2core"), [SRC, DST], "left")
+        .select(
+            SRC, DST,
+            F.when(
+                F.col("in2core").isNotNull(),
+                F.lit(min_weight)
+                + F.lit(1.0 - min_weight) * F.col("v") / F.lit(float(ensemble_size)),
+            ).otherwise(F.lit(min_weight)).alias(WGT),
+        )
+    )
+    gw = _as_graph(reweighted.localCheckpoint(eager=False), G)
+    labels, _q = louvain(gw, resolution=resolution)
+    edges.unpersist()
+    return labels, modularity(G, labels, resolution)
 
 
 def _as_graph(edges: DataFrame, like: Graph) -> Graph:

@@ -36,13 +36,43 @@ from pyspark.sql import functions as F
 from ..graph import DST, SRC, Graph
 
 
-def _oriented_edges(G: Graph) -> DataFrame:
+def _prune_low_degree(und: DataFrame, rounds: int) -> DataFrame:
+    """Iterated degree-≤1 peeling — the cheap core of the reference's
+    2-core pruning (triangle_count_impl.cuh:360-402): a vertex with
+    degree < 2 is on no triangle, and removing it can cascade. Each
+    round is one degree aggregate + two semi-joins; stops early when
+    nothing was peeled. Scale-free graphs have huge degree-1 fringes,
+    so this shrinks the oriented self-join input substantially; counts
+    are unchanged (pruned vertices scatter 0 via the final left join)."""
+    for _ in range(rounds):
+        deg = (
+            und.select(F.col(SRC).alias("v"))
+            .unionByName(und.select(F.col(DST).alias("v")))
+            .groupBy("v")
+            .agg(F.count("*").alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= 2).select("v")
+        pruned = (
+            und.join(keep.withColumnRenamed("v", SRC), SRC, "left_semi")
+            .join(keep.withColumnRenamed("v", DST), DST, "left_semi")
+            .localCheckpoint(eager=False)
+        )
+        n_before, n_after = und.count(), pruned.count()
+        und = pruned
+        if n_after == n_before:
+            break
+    return und
+
+
+def _oriented_edges(G: Graph, prune_rounds: int = 0) -> DataFrame:
     """Undirected simple edges oriented low-(degree,id) → high."""
     und = (
         G.edges.select(SRC, DST)
         .filter(F.col(SRC) < F.col(DST))  # one row per undirected edge
         .distinct()
     )
+    if prune_rounds:
+        und = _prune_low_degree(und, prune_rounds)
     deg = (
         und.select(F.col(SRC).alias("v"))
         .unionByName(und.select(F.col(DST).alias("v")))
@@ -63,13 +93,17 @@ def _oriented_edges(G: Graph) -> DataFrame:
 def triangle_count(
     G: Graph,
     start_list: DataFrame | None = None,
+    prune_rounds: int = 2,
 ) -> DataFrame:
     """Returns DataFrame ``[vertex, counts]`` (reference column names,
-    triangle_count.py:45-122). Requires undirected non-multi graph."""
+    triangle_count.py:45-122). Requires undirected non-multi graph.
+    ``prune_rounds``: degree-≤1 peeling rounds before orientation (the
+    reference's 2-core pruning, :360-402) — pure optimization, counts
+    identical."""
     if G.directed:
         raise ValueError("triangle_count requires an undirected graph")
 
-    o = _oriented_edges(G).persist(StorageLevel.MEMORY_AND_DISK)
+    o = _oriented_edges(G, prune_rounds).persist(StorageLevel.MEMORY_AND_DISK)
 
     e1 = o.select(F.col(SRC).alias("u"), F.col(DST).alias("v"))
     e2 = o.select(F.col(SRC).alias("v"), F.col(DST).alias("w"))

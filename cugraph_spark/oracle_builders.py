@@ -465,6 +465,20 @@ FROM starts s JOIN deg d ON s.vertex = d.src
 """
 
 
+def all_vertices_ok_sql(edges_sql: str) -> str:
+    """Expected [vertex, ok=TRUE] for per-vertex invariant queries —
+    the Spark side computes the operator's local invariant per vertex
+    (MIS independence+maximality, Leiden community connectivity, ECG
+    partition validity, matching symmetry+maximality) and must come
+    back all-true."""
+    return f"""
+WITH e AS ({edges_sql}),
+verts AS (SELECT DISTINCT vertex FROM (
+    SELECT src AS vertex FROM e UNION ALL SELECT dst FROM e))
+SELECT vertex, TRUE AS ok FROM verts
+"""
+
+
 def mis_invariants_sql(edges_sql: str) -> str:
     """Expected per-vertex invariant for q_mis: every vertex satisfies
     the MIS local condition (in-set → no neighbor in set; out-of-set →

@@ -728,6 +728,86 @@ def q_louvain(spark, sf_dir):
     return labels
 
 
+def q_leiden(spark, sf_dir):
+    """Invariant-checked Leiden: per-vertex flag that the vertex's
+    community is internally connected (the Leiden guarantee, Traag et
+    al. 2019 — checked by re-running the CC refinement on the FINAL
+    labels and requiring one component per community). Modularity-vs-
+    louvain is asserted in pytest (tests/test_leiden_ecg_matching.py)."""
+    from .operators.community import _refine_partition, leiden
+
+    e = edges_nation(spark, sf_dir)
+    G = Graph(e, directed=False, weighted=True)
+    labels, _q = leiden(G)
+    refined = _refine_partition(G.edges, labels)
+    comm_ok = (
+        labels.join(refined, "vertex")
+        .groupBy("labels")
+        .agg((F.countDistinct("refined") == 1).alias("conn"))
+    )
+    return labels.join(comm_ok, "labels").select("vertex", F.col("conn").alias("ok"))
+
+
+def q_ecg(spark, sf_dir):
+    """Invariant-checked ECG: the ensemble-reweighted Louvain labels
+    form a valid partition (one label per vertex, labels drawn from the
+    vertex-id domain)."""
+    from .operators.community import ecg
+
+    e = edges_nation(spark, sf_dir)
+    G = Graph(e, directed=False, weighted=True)
+    labels, _q = ecg(G, ensemble_size=4)
+    vs = G.vertices().select(F.col("vertex").alias("lv"))
+    return (
+        G.vertices()
+        .join(labels, "vertex", "left")
+        .join(vs, F.col("labels") == F.col("lv"), "left")
+        .select(
+            "vertex",
+            (F.col("labels").isNotNull() & F.col("lv").isNotNull()).alias("ok"),
+        )
+    )
+
+
+def q_matching(spark, sf_dir):
+    """Invariant-checked approximate weighted matching: per vertex —
+    matched vertices have a symmetric partner across a real edge;
+    unmatched vertices have no unmatched neighbor (maximality of the
+    locally-heaviest-edge scheme)."""
+    from .operators.matching import approximate_weighted_matching
+
+    e = edges_nation(spark, sf_dir)
+    G = Graph(e, directed=False, weighted=True)
+    m, _total = approximate_weighted_matching(G)
+    ed = G.edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
+    p2 = m.select(F.col("vertex").alias("pv"), F.col("partner").alias("pp"))
+    unm = m.filter(F.col("partner") == -1).select("vertex")
+    bad_unm = (
+        ed.join(unm.withColumnRenamed("vertex", "src"), "src", "left_semi")
+        .join(unm.withColumnRenamed("vertex", "dst"), "dst", "left_semi")
+        .select(F.col("src").alias("vertex"))
+        .distinct()
+        .withColumn("bad", F.lit(True))
+    )
+    has_edge = ed.select(
+        F.col("src").alias("vertex"), F.col("dst").alias("partner"),
+        F.lit(True).alias("edge_ok"),
+    )
+    return (
+        m.join(p2, m["partner"] == p2["pv"], "left")
+        .join(has_edge, ["vertex", "partner"], "left")
+        .join(bad_unm, "vertex", "left")
+        .select(
+            "vertex",
+            F.when(F.col("partner") == -1, F.col("bad").isNull())
+            .otherwise(
+                (F.col("pp") == F.col("vertex"))
+                & F.coalesce("edge_ok", F.lit(False))
+            ).alias("ok"),
+        )
+    )
+
+
 def q_mst(spark, sf_dir):
     from .operators.tree import minimum_spanning_tree
 
@@ -901,6 +981,9 @@ def queries():
         "cosine_top1": q_cosine_top1,
         "embedding_lsh_buckets": q_embedding_lsh_buckets,
         "louvain": q_louvain,
+        "leiden": q_leiden,
+        "ecg": q_ecg,
+        "matching": q_matching,
         "mst": q_mst,
         "k_truss": q_k_truss,
         "random_walks": q_random_walks,
@@ -946,6 +1029,9 @@ def oracle_sql():
         "mst": ob.mst_sql(EDGES_NATION_SQL, rounds=5),
         "k_truss": ob.k_truss_sql(EDGES_NATION_SQL, k=4, iters=4),
         "louvain": ob.louvain_level_sql(EDGES_NATION_SQL, inner_iters=2),
+        "leiden": ob.all_vertices_ok_sql(EDGES_NATION_SQL),
+        "ecg": ob.all_vertices_ok_sql(EDGES_NATION_SQL),
+        "matching": ob.all_vertices_ok_sql(EDGES_NATION_SQL),
         "betweenness": ob.betweenness_sql(EDGES_NATION_SQL, depth=6),
         "random_walks": ob.walk_invariants_sql(EDGES_CS_SQL, n_starts=16, expected_rows=2),
         "neighbor_sample": ob.neighbor_sample_invariants_sql(
