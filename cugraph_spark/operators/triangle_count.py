@@ -40,10 +40,12 @@ def _prune_low_degree(und: DataFrame, rounds: int) -> DataFrame:
     """Iterated degree-≤1 peeling — the cheap core of the reference's
     2-core pruning (triangle_count_impl.cuh:360-402): a vertex with
     degree < 2 is on no triangle, and removing it can cascade. Each
-    round is one degree aggregate + two semi-joins; stops early when
-    nothing was peeled. Scale-free graphs have huge degree-1 fringes,
-    so this shrinks the oriented self-join input substantially; counts
-    are unchanged (pruned vertices scatter 0 via the final left join)."""
+    round is one degree aggregate + two semi-joins, composed as a pure
+    plan — NO driver actions (a fixed number of rounds beats per-round
+    convergence counts: each count is a full job, pricier than an idle
+    extra peel). Scale-free graphs have huge degree-1 fringes, so this
+    shrinks the oriented self-join input substantially; counts are
+    unchanged (pruned vertices scatter 0 via the final left join)."""
     for _ in range(rounds):
         deg = (
             und.select(F.col(SRC).alias("v"))
@@ -52,15 +54,15 @@ def _prune_low_degree(und: DataFrame, rounds: int) -> DataFrame:
             .agg(F.count("*").alias("d"))
         )
         keep = deg.filter(F.col("d") >= 2).select("v")
-        pruned = (
+        und = (
             und.join(keep.withColumnRenamed("v", SRC), SRC, "left_semi")
             .join(keep.withColumnRenamed("v", DST), DST, "left_semi")
+            # lazy checkpoint: no job now, but each round's result
+            # materializes once at the first action — without it the
+            # round tree is REPLICATED into deg (×2) and both semi-joins,
+            # and again into e1/e2/e3 downstream (exponential plan size)
             .localCheckpoint(eager=False)
         )
-        n_before, n_after = und.count(), pruned.count()
-        und = pruned
-        if n_after == n_before:
-            break
     return und
 
 
