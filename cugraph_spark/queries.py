@@ -808,6 +808,23 @@ def q_matching(spark, sf_dir):
     )
 
 
+def q_spectral(spark, sf_dir):
+    """Invariant-checked balanced-cut spectral clustering: every vertex
+    gets exactly one cluster id in [0, k) (assignment validity; quality
+    contracts live in pytest — two-clique separation + orthonormal
+    embedding)."""
+    from .operators.spectral import spectral_clustering
+
+    e = edges_nation(spark, sf_dir)
+    G = Graph(e, directed=False, weighted=True)
+    k = 3
+    cl = spectral_clustering(G, k, num_eigen_iters=12, kmeans_iters=8)
+    return cl.select(
+        "vertex",
+        ((F.col("cluster") >= 0) & (F.col("cluster") < k)).alias("ok"),
+    )
+
+
 def q_mst(spark, sf_dir):
     from .operators.tree import minimum_spanning_tree
 
@@ -984,6 +1001,7 @@ def queries():
         "leiden": q_leiden,
         "ecg": q_ecg,
         "matching": q_matching,
+        "spectral": q_spectral,
         "mst": q_mst,
         "k_truss": q_k_truss,
         "random_walks": q_random_walks,
@@ -1032,6 +1050,7 @@ def oracle_sql():
         "leiden": ob.all_vertices_ok_sql(EDGES_NATION_SQL),
         "ecg": ob.all_vertices_ok_sql(EDGES_NATION_SQL),
         "matching": ob.all_vertices_ok_sql(EDGES_NATION_SQL),
+        "spectral": ob.all_vertices_ok_sql(EDGES_NATION_SQL),
         "betweenness": ob.betweenness_sql(EDGES_NATION_SQL, depth=6),
         "random_walks": ob.walk_invariants_sql(EDGES_CS_SQL, n_starts=16, expected_rows=2),
         "neighbor_sample": ob.neighbor_sample_invariants_sql(

@@ -152,3 +152,25 @@ def test_relabel_standalone(spark):
     mapping = spark.createDataFrame([(0, 100), (2, 200)], "old long, new long")
     out = {r["v"]: r["x"] for r in relabel(df, mapping, ["v"]).collect()}
     assert set(out) == {100, 1, 200}
+
+
+def test_spectral_clustering_two_cliques(spark):
+    from cugraph_spark.operators.spectral import spectral_clustering
+
+    G = Graph(edges_df(spark, two_cliques()), directed=False)
+    got = {r["vertex"]: r["cluster"]
+           for r in spectral_clustering(G, 2, num_eigen_iters=20).collect()}
+    c1 = {got[v] for v in range(5)}
+    c2 = {got[v] for v in range(10, 15)}
+    assert len(c1) == 1 and len(c2) == 1 and c1 != c2
+
+
+def test_spectral_embedding_orthonormal(spark):
+    import numpy as np
+    from cugraph_spark.operators.spectral import spectral_embedding
+
+    G = Graph(edges_df(spark, two_cliques()), directed=False)
+    emb = spectral_embedding(G, 3, num_iters=10)
+    M = np.array([[r["e0"], r["e1"], r["e2"]] for r in emb.collect()])
+    gram = M.T @ M
+    assert np.allclose(gram, np.eye(3), atol=1e-6)
