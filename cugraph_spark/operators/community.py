@@ -477,7 +477,11 @@ def k_truss(G: Graph, k: int, max_iter: int = 100) -> DataFrame:
     edge list [src, dst] (src < dst)."""
     if G.directed:
         raise ValueError("k_truss requires an undirected graph")
-    cur = G
+    # cut the input lineage once: edge_triangle_count references the
+    # edge set ~5 times (und, degrees, three join legs); without this a
+    # derived input (e.g. a multi-table join) is re-planned/recomputed
+    # per reference
+    cur = _as_graph(G.edges.localCheckpoint(eager=False), G)
     n_before = None  # lazily counted once; each round reuses last n_after
     for _ in range(max_iter):
         if n_before is None:

@@ -14,16 +14,20 @@ core ≥ h), starting from core(v) = degree(v). This converges to the
 exact core numbers in a bounded number of supersteps and is exactly the
 gather-scatter skeleton every other operator uses.
 
-The per-vertex H computation is a rank trick in pure SQL (no UDF):
-rank each vertex's incoming neighbor core values descending, then
-``H = max(least(value, rank))``.
+The per-vertex H computation is pure SQL (no UDF) over *distinct core
+values*, not raw neighbor rows: messages first combine to
+``(dst, nbr_core) → cnt`` (map-side combinable groupBy), then a
+descending cumulative count gives ``H = max(least(nbr_core, cum))`` —
+the h-index identity ``H = max_v min(v, N≥v)`` over distinct values v
+(the max is always attained at a value present in the multiset).
 
-Scale notes: messages are (dst, core(src)) — O(E) shuffled per
-superstep but pre-combined poorly (distinct values), so the window is
-per-dst; the oriented degree bound doesn't apply here. At 100 TB the
-window sort per dst partition is the cost center; hub vertices are
-handled by AQE skew splitting (sort within dst is fine since rows per
-dst = degree, and H only needs the top-d ranks).
+Scale notes: the O(E) message shuffle is keyed on (dst, nbr_core), so a
+hub's messages spread over its distinct neighbor-core values both in
+the combine and in the shuffle — no single hot key. The per-dst window
+(which AQE can NOT split — a window partition must be one task) then
+sees at most #distinct-core-values ≤ core_max = O(√E) rows per vertex,
+not degree(v) rows: a degree-10M hub contributes ≤ a few thousand rows
+to its window partition.
 """
 
 from __future__ import annotations
@@ -62,15 +66,20 @@ def core_number(
         .localCheckpoint(eager=False)
     )
 
-    w = Window.partitionBy(DST).orderBy(F.desc("nbr_core"))
+    w = (
+        Window.partitionBy(DST)
+        .orderBy(F.desc("nbr_core"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     for _ in range(max_iter):
         msgs = edges.join(state, edges[SRC] == state["vertex"]).select(
             F.col(DST), F.col("core").alias("nbr_core")
         )
+        counts = msgs.groupBy(DST, "nbr_core").agg(F.count("*").alias("cnt"))
         h = (
-            msgs.withColumn("rnk", F.row_number().over(w))
+            counts.withColumn("cum", F.sum("cnt").over(w))
             .groupBy(DST)
-            .agg(F.max(F.least(F.col("nbr_core"), F.col("rnk"))).alias("h"))
+            .agg(F.max(F.least(F.col("nbr_core"), F.col("cum"))).alias("h"))
         )
         new_state = (
             state.join(h, state["vertex"] == h[DST], "left")

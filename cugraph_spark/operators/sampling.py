@@ -130,21 +130,27 @@ def node2vec_walks(
     out = walks.select("walk_id", F.lit(0).alias("step"), "vertex")
     frontier = walks
 
+    # decoupled column names: adj_flag descends from `edges`, so the
+    # step join must not reference edges' attributes directly (ambiguous
+    # self-join references otherwise)
+    ecand = edges.select(
+        F.col(SRC).alias("c_src"), F.col(DST).alias("c_dst"), F.col(WGT).alias("c_w")
+    )
     for step in range(1, max_depth + 1):
         cand = (
-            frontier.join(edges, frontier["vertex"] == edges[SRC])
+            frontier.join(ecand, frontier["vertex"] == F.col("c_src"))
             .join(
                 adj_flag,
-                (F.col("prev") == F.col("t_")) & (edges[DST] == F.col("x_")),
+                (F.col("prev") == F.col("t_")) & (F.col("c_dst") == F.col("x_")),
                 "left",
             )
             .select(
                 "walk_id",
                 frontier["vertex"].alias("cur"),
-                edges[DST].alias("nxt"),
+                F.col("c_dst").alias("nxt"),
                 (
-                    F.col(WGT)
-                    * F.when(edges[DST] == F.col("prev"), F.lit(1.0 / p))
+                    F.col("c_w")
+                    * F.when(F.col("c_dst") == F.col("prev"), F.lit(1.0 / p))
                     .when(F.col("is_nbr").isNotNull(), F.lit(1.0))
                     .otherwise(F.lit(1.0 / q))
                 ).alias("bias"),

@@ -239,12 +239,7 @@ FROM verts vt LEFT JOIN m ON vt.vertex = m.v
 
 # --------------------------------------------------------------- cores
 
-def core_number_sql(edges_sql: str, iters: int = 6) -> str:
-    """Unrolled h-index fixpoint twin of operators/cores.py:core_number
-    (Montresor et al. distributed k-core; reference
-    cores/core_number_impl.cuh semantics): core ← H(neighbor cores)
-    from core = degree, monotonically non-increasing, exact at the
-    fixpoint. ``iters`` must be past convergence on the test graph."""
+def _core_parts(edges_sql: str, iters: int) -> list[str]:
     parts = [
         f"WITH e0 AS MATERIALIZED ({edges_sql})",
         "und AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("
@@ -265,9 +260,44 @@ def core_number_sql(edges_sql: str, iters: int = 6) -> str:
             f"c{i + 1} AS MATERIALIZED (SELECT v.vertex, LEAST(v.core, COALESCE(h.h, 0)) AS core "
             f"FROM c{i} v LEFT JOIN h{i} h ON v.vertex = h.dst)"
         )
+    return parts
+
+
+def core_number_sql(edges_sql: str, iters: int = 6) -> str:
+    """Unrolled h-index fixpoint twin of operators/cores.py:core_number
+    (Montresor et al. distributed k-core; reference
+    cores/core_number_impl.cuh semantics): core ← H(neighbor cores)
+    from core = degree, monotonically non-increasing, exact at the
+    fixpoint. ``iters`` must be past convergence on the test graph."""
+    parts = _core_parts(edges_sql, iters)
     return (
         ",\n".join(parts)
         + f"\nSELECT vertex, CAST(core AS BIGINT) AS core_number FROM c{iters}"
+    )
+
+
+def k_core_sql(edges_sql: str, k: int, iters: int = 6) -> str:
+    """k-core subgraph twin of operators/cores.py:k_core (reference
+    cores/k_core_impl.cuh): the induced min-weight-symmetrized edge set
+    on {v : core(v) ≥ k}, emitted canonically as src < dst rows."""
+    parts = _core_parts(edges_sql, iters)
+    parts.append(
+        f"keep AS MATERIALIZED (SELECT vertex FROM c{iters} WHERE core >= {k})"
+    )
+    parts.append(
+        "se AS MATERIALIZED (SELECT src, dst, MIN(weight) AS w FROM ("
+        "SELECT src, dst, weight FROM e0 UNION ALL SELECT dst, src, weight FROM e0"
+        ") GROUP BY src, dst)"
+    )
+    return (
+        ",\n".join(parts)
+        + """
+SELECT se.src, se.dst, ROUND(se.w, 6) + 0.0 AS weight
+FROM se
+JOIN keep ka ON se.src = ka.vertex
+JOIN keep kb ON se.dst = kb.vertex
+WHERE se.src < se.dst
+"""
     )
 
 

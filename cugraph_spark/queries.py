@@ -889,6 +889,114 @@ def q_random_walks(spark, sf_dir):
     )
 
 
+def q_hypergraph(spark, sf_dir):
+    """Bipartite hypergraph build from a typed table (reference
+    structure/hypergraph.py semantics): row-node → col::value-node
+    edges over part(brand, type) — exact string-keyed SQL twin."""
+    from .property_graph import hypergraph
+
+    part = _read(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_type")
+    e = hypergraph(part, columns=["p_brand", "p_type"], row_id_col="p_partkey")
+    return e.select("src", "dst", (F.round("weight", 6) + F.lit(0.0)).alias("weight"))
+
+
+Q_HYPERGRAPH_SQL = """
+WITH cells AS (
+    SELECT 'row::' || CAST(p_partkey AS VARCHAR) AS src,
+           'p_brand::' || CAST(p_brand AS VARCHAR) AS dst
+    FROM part WHERE p_brand IS NOT NULL
+    UNION ALL
+    SELECT 'row::' || CAST(p_partkey AS VARCHAR),
+           'p_type::' || CAST(p_type AS VARCHAR)
+    FROM part WHERE p_type IS NOT NULL
+)
+SELECT src, dst, ROUND(CAST(COUNT(*) AS DOUBLE), 6) + 0.0 AS weight
+FROM cells GROUP BY src, dst
+"""
+
+
+def q_k_core(spark, sf_dir):
+    """k-core subgraph: converged Spark core numbers + induced
+    subgraph vs the unrolled-h-index SQL twin — exact edge-set equality
+    through the full core_number → induced_subgraph pipeline."""
+    from .operators.cores import k_core
+
+    e = edges_ss(spark, sf_dir)
+    G = Graph(e, directed=False, weighted=True)
+    sub = k_core(G, 5)
+    return (
+        sub.edges.filter(F.col("src") < F.col("dst"))
+        .select("src", "dst", (F.round("weight", 6) + F.lit(0.0)).alias("weight"))
+    )
+
+
+def q_node2vec(spark, sf_dir):
+    """Invariant-checked node2vec (p/q-biased) walks — same per-walk
+    summary contract as q_random_walks (starts are customers, all
+    neighbors are supplier sinks → exactly 2 rows per walk, every step
+    a real edge)."""
+    from .operators.sampling import node2vec_walks
+
+    e = edges_cs(spark, sf_dir)
+    G = Graph(e, directed=True, weighted=True)
+    starts = G.vertices().orderBy("vertex").limit(16)
+    w = node2vec_walks(G, starts, max_depth=3, p=2.0, q=0.5, seed=42)
+    a, b = w.alias("a"), w.alias("b")
+    hops = a.join(
+        b,
+        (F.col("a.walk_id") == F.col("b.walk_id"))
+        & (F.col("b.step") == F.col("a.step") + 1),
+    ).select(
+        F.col("a.walk_id").alias("walk_id"),
+        F.col("a.vertex").alias("vs"),
+        F.col("b.vertex").alias("vd"),
+    )
+    bad = (
+        hops.join(
+            G.edges,
+            (hops["vs"] == G.edges["src"]) & (hops["vd"] == G.edges["dst"]),
+            "left_anti",
+        )
+        .groupBy("walk_id")
+        .agg(F.count("*").alias("bad"))
+    )
+    return (
+        w.groupBy("walk_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min(F.when(F.col("step") == 0, F.col("vertex"))).alias("start_vertex"),
+        )
+        .join(bad, "walk_id", "left")
+        .select(
+            "walk_id", "start_vertex", "n_rows",
+            F.coalesce("bad", F.lit(0)).cast("long").alias("bad_steps"),
+        )
+    )
+
+
+def q_coloring(spark, sf_dir):
+    """Invariant-checked Luby vertex coloring: per-vertex flag that no
+    neighbor shares the vertex's color (proper coloring)."""
+    from .operators.mis import vertex_coloring
+
+    e = edges_nation(spark, sf_dir)
+    G = Graph(e, directed=False, weighted=True)
+    col = vertex_coloring(G)
+    c2 = col.select(F.col("vertex").alias("nv"), F.col("color").alias("nc"))
+    conflicts = (
+        G.edges.filter(F.col("src") != F.col("dst"))
+        .join(col.withColumnRenamed("vertex", "src"), "src")
+        .join(c2, F.col("dst") == F.col("nv"))
+        .filter(F.col("color") == F.col("nc"))
+        .select(F.col("src").alias("vertex"))
+        .distinct()
+        .withColumn("badc", F.lit(True))
+    )
+    return col.join(conflicts, "vertex", "left").select(
+        "vertex", F.col("badc").isNull().alias("ok")
+    )
+
+
 def q_scc(spark, sf_dir):
     from .operators.scc import strongly_connected_components
 
@@ -1004,7 +1112,11 @@ def queries():
         "spectral": q_spectral,
         "mst": q_mst,
         "k_truss": q_k_truss,
+        "hypergraph_bipartite": q_hypergraph,
+        "k_core5": q_k_core,
         "random_walks": q_random_walks,
+        "node2vec": q_node2vec,
+        "coloring": q_coloring,
         "neighbor_sample": q_neighbor_sample,
         "betweenness": q_betweenness,
         "scc": q_scc,
@@ -1052,7 +1164,11 @@ def oracle_sql():
         "matching": ob.all_vertices_ok_sql(EDGES_NATION_SQL),
         "spectral": ob.all_vertices_ok_sql(EDGES_NATION_SQL),
         "betweenness": ob.betweenness_sql(EDGES_NATION_SQL, depth=6),
+        "hypergraph_bipartite": Q_HYPERGRAPH_SQL,
+        "k_core5": ob.k_core_sql(EDGES_SS_SQL, k=5, iters=6),
         "random_walks": ob.walk_invariants_sql(EDGES_CS_SQL, n_starts=16, expected_rows=2),
+        "node2vec": ob.walk_invariants_sql(EDGES_CS_SQL, n_starts=16, expected_rows=2),
+        "coloring": ob.all_vertices_ok_sql(EDGES_NATION_SQL),
         "neighbor_sample": ob.neighbor_sample_invariants_sql(
             EDGES_CS_SQL, n_starts=16, fanout0=4),
         "mis": ob.mis_invariants_sql(EDGES_SS_SQL),
