@@ -997,6 +997,69 @@ def q_coloring(spark, sf_dir):
     )
 
 
+def q_hungarian(spark, sf_dir):
+    """Min-cost assignment (auction) on a deterministic 6×6 bipartite
+    cost matrix — the optimal TOTAL COST is compared against a DuckDB
+    exact permutation-DP twin (integer costs + ε < 1/n ⇒ the auction
+    result is provably the optimum, Bertsekas 1988), plus matching
+    validity (6 workers assigned, jobs distinct)."""
+    from .operators.assignment import hungarian
+
+    w = spark.range(6).select(F.col("id").alias("i"))
+    j = spark.range(6).select(F.col("id").alias("j"))
+    costs = w.crossJoin(j).select(
+        F.col("i").alias("src"),
+        (F.col("j") + 100).alias("dst"),
+        ((F.col("i") * 7 + F.col("j") * 11) % 23).cast("double").alias("weight"),
+    )
+    G = Graph(costs, directed=True, weighted=True)
+    workers = spark.range(6).select(F.col("id").alias("vertex"))
+    total, df = hungarian(G, workers)
+    stats = df.agg(
+        F.count("*").alias("n_assigned"),
+        F.count_distinct("assignment").alias("n_jobs"),
+    ).first()
+    return spark.createDataFrame(
+        [(int(stats["n_assigned"]), int(stats["n_jobs"]), round(total, 6) + 0.0)],
+        "n_assigned long, n_jobs long, total_cost double",
+    )
+
+
+Q_HUNGARIAN_SQL = """
+WITH RECURSIVE costs AS (
+    SELECT a.i AS i, b.j AS j, CAST((a.i * 7 + b.j * 11) % 23 AS DOUBLE) AS c
+    FROM (SELECT range AS i FROM range(6)) a,
+         (SELECT range AS j FROM range(6)) b
+),
+asg(r, mask, cost) AS (
+    SELECT 0, 0, CAST(0.0 AS DOUBLE)
+    UNION ALL
+    SELECT a.r + 1, a.mask | (1 << c.j), a.cost + c.c
+    FROM asg a JOIN costs c ON c.i = a.r AND (a.mask & (1 << c.j)) = 0
+    WHERE a.r < 6
+)
+SELECT CAST(6 AS BIGINT) AS n_assigned, CAST(6 AS BIGINT) AS n_jobs,
+       ROUND(MIN(cost), 6) + 0.0 AS total_cost
+FROM asg WHERE r = 6
+"""
+
+
+def q_force_atlas2(spark, sf_dir):
+    """Invariant-checked Force Atlas 2 layout on the nation graph:
+    every vertex gets exactly one finite (x, y) position (quality
+    contracts — clique separation, determinism — live in pytest)."""
+    from .operators.layout import force_atlas2
+
+    e = edges_nation(spark, sf_dir)
+    G = Graph(e, directed=False, weighted=True)
+    pos = force_atlas2(G, max_iter=5, seed=7)
+    fin = (
+        F.col("x").isNotNull() & ~F.isnan("x") & (F.abs("x") < F.lit(1e12))
+        & F.col("y").isNotNull() & ~F.isnan("y") & (F.abs("y") < F.lit(1e12))
+    )
+    return pos.select("vertex", fin.alias("ok"))
+
+
 def q_scc(spark, sf_dir):
     from .operators.scc import strongly_connected_components
 
@@ -1114,6 +1177,8 @@ def queries():
         "k_truss": q_k_truss,
         "hypergraph_bipartite": q_hypergraph,
         "k_core5": q_k_core,
+        "hungarian6": q_hungarian,
+        "force_atlas2": q_force_atlas2,
         "random_walks": q_random_walks,
         "node2vec": q_node2vec,
         "coloring": q_coloring,
@@ -1166,6 +1231,8 @@ def oracle_sql():
         "betweenness": ob.betweenness_sql(EDGES_NATION_SQL, depth=6),
         "hypergraph_bipartite": Q_HYPERGRAPH_SQL,
         "k_core5": ob.k_core_sql(EDGES_SS_SQL, k=5, iters=6),
+        "hungarian6": Q_HUNGARIAN_SQL,
+        "force_atlas2": ob.all_vertices_ok_sql(EDGES_NATION_SQL),
         "random_walks": ob.walk_invariants_sql(EDGES_CS_SQL, n_starts=16, expected_rows=2),
         "node2vec": ob.walk_invariants_sql(EDGES_CS_SQL, n_starts=16, expected_rows=2),
         "coloring": ob.all_vertices_ok_sql(EDGES_NATION_SQL),
