@@ -36,15 +36,21 @@ from .operators.sampling import (  # noqa: F401
 )
 from .operators.community import (  # noqa: F401
     coarsen_graph,
+    ecg,
     ego_graph,
     k_truss,
+    leiden,
     louvain,
     modularity,
 )
+from .operators.spectral import spectral_clustering  # noqa: F401
+from .operators.matching import approximate_weighted_matching  # noqa: F401
 from .operators.tree import minimum_spanning_tree  # noqa: F401
 from .operators.betweenness import betweenness_centrality  # noqa: F401
 from .property_graph import PropertyGraph, hypergraph  # noqa: F401
 from .operators.mis import maximal_independent_set, vertex_coloring  # noqa: F401
 from .operators.scc import strongly_connected_components  # noqa: F401
+from .operators.assignment import dense_hungarian, hungarian  # noqa: F401
+from .operators.layout import force_atlas2  # noqa: F401
 
 __version__ = "0.1.0"
