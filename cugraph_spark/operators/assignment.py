@@ -30,6 +30,8 @@ O(n) for random costs. All state is O(V) — edge data never accumulates.
 
 from __future__ import annotations
 
+from ..plans.lineage import truncate_plan
+
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -80,9 +82,7 @@ def hungarian(
 
     spark = edges.sparkSession
     prices = edges.select("j").distinct().withColumn("p", F.lit(0.0))
-    assigned = spark.createDataFrame([], "i long, j long").localCheckpoint(
-        eager=False
-    )
+    assigned = spark.createDataFrame([], "i long, j long").transform(truncate_plan)
 
     for _ in range(max_rounds):
         unassigned = wset.join(
@@ -130,17 +130,17 @@ def hungarian(
                 (-F.col("m.ni")).alias("i"),
                 F.col("m.bid").alias("bid"),
             )
-            .localCheckpoint(eager=False)
+            .transform(truncate_plan)
         )
         prices = (
             prices.join(wins.select("j", "bid"), "j", "left")
             .select("j", F.coalesce("bid", F.col("p")).alias("p"))
-            .localCheckpoint(eager=False)
+            .transform(truncate_plan)
         )
         assigned = (
             assigned.join(wins.select("j"), "j", "left_anti")
             .unionByName(wins.select("i", "j"))
-            .localCheckpoint(eager=False)
+            .transform(truncate_plan)
         )
     else:
         raise FailedToConvergeError(

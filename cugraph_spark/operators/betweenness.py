@@ -22,6 +22,8 @@ O(S·V) state; frontier joins shuffle O(S·avg_frontier) rows per level.
 
 from __future__ import annotations
 
+from ..plans.lineage import truncate_plan
+
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -78,9 +80,9 @@ def betweenness_centrality(
     frontier = src_df.select(
         "source", F.col("source").alias("vertex"),
         F.lit(0).alias("dist"), F.lit(1.0).alias("sigma"),
-    ).localCheckpoint(eager=False)
+    ).transform(truncate_plan)
     levels = [frontier]  # per-level frontiers (dist = level index)
-    reached = frontier.select("source", "vertex").localCheckpoint(eager=False)
+    reached = frontier.select("source", "vertex").transform(truncate_plan)
 
     depth = 0
     while True:
@@ -93,14 +95,14 @@ def betweenness_centrality(
         nxt = (
             cand.join(reached, ["source", "vertex"], "left_anti")
             .select("source", "vertex", F.lit(depth).alias("dist"), "sigma")
-            .localCheckpoint(eager=False)
+            .transform(truncate_plan)
         )
         if nxt.isEmpty():
             break
         levels.append(nxt)
         reached = reached.unionByName(
             nxt.select("source", "vertex")
-        ).localCheckpoint(eager=False)
+        ).transform(truncate_plan)
         frontier = nxt
 
     # ---- backward sweep: dependency accumulation, deepest first ----
@@ -134,14 +136,14 @@ def betweenness_centrality(
                 "source", "vertex", "sigma",
                 F.coalesce("dep", F.lit(0.0)).alias("delta"),
             )
-            .localCheckpoint(eager=False)
+            .transform(truncate_plan)
         )
         if lvl > 0:  # source itself accumulates nothing
             part = delta.groupBy("vertex").agg(F.sum("delta").alias("bc"))
             acc = part if acc is None else (
                 acc.unionByName(part).groupBy("vertex").agg(F.sum("bc").alias("bc"))
             )
-            acc = acc.localCheckpoint(eager=False)
+            acc = acc.transform(truncate_plan)
 
     if acc is None:
         out = verts.withColumn("bc", F.lit(0.0))

@@ -21,6 +21,8 @@ Reference semantics:
 
 from __future__ import annotations
 
+from ..plans.lineage import truncate_plan
+
 import math
 
 from pyspark import StorageLevel
@@ -82,7 +84,7 @@ def hits(
     state = (
         verts.withColumn("h_un", F.lit(1.0))
         .withColumn("p_un", F.lit(1.0))
-        .localCheckpoint(eager=False)
+        .transform(truncate_plan)
     )
     S, S_prev = float(V), float(V)
 
@@ -106,7 +108,7 @@ def hits(
             F.coalesce("h_new", F.lit(0.0)).alias("h_un"),
             state["h_un"].alias("p_un"),
             state["p_un"].alias("pp_un"),
-        ).localCheckpoint(eager=False)
+        ).transform(truncate_plan)
 
         # single action: next scale + L1 diff of the two PREVIOUS states
         row = new_full.agg(
@@ -154,7 +156,7 @@ def katz_centrality(
     edges = _prep_edges(G, P)
     verts = G.vertices().repartition(P, "vertex").persist(StorageLevel.MEMORY_AND_DISK)
     V = verts.count()
-    state = verts.withColumn("c", F.lit(0.0)).localCheckpoint(eager=False)
+    state = verts.withColumn("c", F.lit(0.0)).transform(truncate_plan)
 
     for _ in range(max_iter):
         sside = vertex_join_side(state, V)
@@ -167,7 +169,7 @@ def katz_centrality(
             state["vertex"],
             (F.lit(beta) + F.lit(alpha) * F.coalesce("s", F.lit(0.0))).alias("c"),
             state["c"].alias("old"),
-        ).localCheckpoint(eager=False)
+        ).transform(truncate_plan)
         diff = (
             new_full.agg(F.sum(F.abs(F.col("c") - F.col("old"))).alias("d"))
             .first()["d"]
@@ -200,7 +202,7 @@ def eigenvector_centrality(
     state = (
         verts.withColumn("c_un", F.lit(1.0 / math.sqrt(V)))
         .withColumn("p_un", F.lit(1.0 / math.sqrt(V)))
-        .localCheckpoint(eager=False)
+        .transform(truncate_plan)
     )
     N, N_prev = 1.0, 1.0
 
@@ -217,7 +219,7 @@ def eigenvector_centrality(
             F.coalesce("s", F.lit(0.0)).alias("c_un"),
             state["c_un"].alias("p_un"),
             state["p_un"].alias("pp_un"),
-        ).localCheckpoint(eager=False)
+        ).transform(truncate_plan)
         row = new_full.agg(
             F.sqrt(F.sum(F.col("c_un") * F.col("c_un"))).alias("n"),
             F.sum(

@@ -21,6 +21,8 @@ oriented edge_triangle_count join (√E fan-out bound).
 
 from __future__ import annotations
 
+from ..plans.lineage import truncate_plan
+
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -111,7 +113,7 @@ def _move_phase(
         state = state.join(il, state["vertex"] == F.col("iv")).select(
             "vertex", "k", F.col("il").alias("labels")
         )
-    state = state.localCheckpoint(eager=False)
+    state = state.transform(truncate_plan)
 
     for rnd in range(max_iter):
         # community volumes Σ_tot
@@ -167,7 +169,7 @@ def _move_phase(
                 ).otherwise(F.col("labels")).alias("labels"),
                 state["labels"].alias("old"),
             )
-            .localCheckpoint(eager=False)
+            .transform(truncate_plan)
         )
         changed = new_state.agg(
             F.sum(F.when(F.col("labels") != F.col("old"), 1).otherwise(0))
@@ -211,7 +213,7 @@ def louvain(
         candidate = (
             assignment.join(level_lab, assignment["labels"] == level_lab["lv"])
             .select(assignment["vertex"], F.col("ll").alias("labels"))
-            .localCheckpoint(eager=False)
+            .transform(truncate_plan)
         )
         q = modularity(G, candidate, resolution)
         coarse = coarsen_graph(
@@ -228,7 +230,7 @@ def louvain(
             break
         assignment = candidate
         best_q = q
-        cur_edges = coarse.localCheckpoint(eager=False)
+        cur_edges = coarse.transform(truncate_plan)
 
     return assignment.select("vertex", "labels"), best_q
 
@@ -250,11 +252,9 @@ def _refine_partition(edges: DataFrame, labels: DataFrame) -> DataFrame:
         .join(lab.withColumnRenamed("lv", DST).withColumnRenamed("ll", "l_dst"), DST)
         .filter(F.col("l_src") == F.col("l_dst"))
         .select(SRC, DST)
-        .localCheckpoint(eager=False)
+        .transform(truncate_plan)
     )
-    state = labels.select("vertex", F.col("vertex").alias("refined")).localCheckpoint(
-        eager=False
-    )
+    state = labels.select("vertex", F.col("vertex").alias("refined")).transform(truncate_plan)
     while True:
         msgs = (
             intra.join(state.withColumnRenamed("vertex", SRC)
@@ -271,7 +271,7 @@ def _refine_partition(edges: DataFrame, labels: DataFrame) -> DataFrame:
                 ).alias("refined"),
                 state["refined"].alias("old"),
             )
-            .localCheckpoint(eager=False)
+            .transform(truncate_plan)
         )
         changed = new_state.agg(
             F.sum(F.when(F.col("refined") != F.col("old"), 1).otherwise(0))
@@ -331,7 +331,7 @@ def leiden(
         candidate = (
             assignment.join(rl, assignment["labels"] == rl["lv"])
             .select(assignment["vertex"], F.col("ll").alias("labels"))
-            .localCheckpoint(eager=False)
+            .transform(truncate_plan)
         )
         q = modularity(G, candidate, resolution)
 
@@ -345,7 +345,7 @@ def leiden(
                          refined["vertex"] == F.col("mv"))
             .groupBy(F.col("refined").alias("vertex"))
             .agg(F.min("labels").alias("labels"))
-            .localCheckpoint(eager=False)
+            .transform(truncate_plan)
         )
         edges.unpersist()
         if q <= best_q + min_gain:
@@ -359,9 +359,9 @@ def leiden(
             # no contraction — the partition is stable; further levels
             # would redo the same moves on the same graph
             break
-        # localCheckpoint truncates the per-level lineage so level L's
+        # truncate_plan (stats-clean localCheckpoint) truncates the per-level lineage so level L's
         # move phase does not re-analyze levels 0..L-1 (SURVEY.md §7.3.1)
-        cur_edges = coarse.localCheckpoint(eager=False)
+        cur_edges = coarse.transform(truncate_plan)
 
     return assignment.select("vertex", "labels"), best_q
 
@@ -412,7 +412,7 @@ def ecg(
         votes = co if votes is None else (
             votes.unionByName(co).groupBy(SRC, DST).agg(F.sum("v").alias("v"))
         )
-        votes = votes.localCheckpoint(eager=False)
+        votes = votes.transform(truncate_plan)
 
     cn = core_number(G)
     core2 = cn.filter(F.col("core_number") >= 2).select("vertex")
@@ -432,7 +432,7 @@ def ecg(
             ).otherwise(F.lit(min_weight)).alias(WGT),
         )
     )
-    gw = _as_graph(reweighted.localCheckpoint(eager=False), G)
+    gw = _as_graph(reweighted.transform(truncate_plan), G)
     labels, _q = louvain(gw, resolution=resolution)
     edges.unpersist()
     return labels, modularity(G, labels, resolution)
@@ -481,7 +481,7 @@ def k_truss(G: Graph, k: int, max_iter: int = 100) -> DataFrame:
     # edge set ~5 times (und, degrees, three join legs); without this a
     # derived input (e.g. a multi-table join) is re-planned/recomputed
     # per reference
-    cur = _as_graph(G.edges.localCheckpoint(eager=False), G)
+    cur = _as_graph(G.edges.transform(truncate_plan), G)
     n_before = None  # lazily counted once; each round reuses last n_after
     for _ in range(max_iter):
         if n_before is None:
@@ -492,7 +492,7 @@ def k_truss(G: Graph, k: int, max_iter: int = 100) -> DataFrame:
         sym = keep.unionByName(
             keep.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
         ).withColumn(WGT, F.lit(1.0))
-        cur = _as_graph(sym.localCheckpoint(eager=False), G)
+        cur = _as_graph(sym.transform(truncate_plan), G)
         if n_after == n_before:
             break
         n_before = n_after

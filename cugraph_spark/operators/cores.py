@@ -32,6 +32,8 @@ to its window partition.
 
 from __future__ import annotations
 
+from ..plans.lineage import truncate_plan
+
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -63,7 +65,7 @@ def core_number(
         .join(deg, "vertex", "left")
         .select("vertex", F.coalesce("core", F.lit(0)).cast("long").alias("core"))
         .repartition(P, "vertex")
-        .localCheckpoint(eager=False)
+        .transform(truncate_plan)
     )
 
     w = (
@@ -90,7 +92,7 @@ def core_number(
                 ).alias("core"),
             )
             .repartition(P, "vertex")
-            .localCheckpoint(eager=False)
+            .transform(truncate_plan)
         )
         changed = (
             new_state.join(state.select("vertex", F.col("core").alias("old")), "vertex")

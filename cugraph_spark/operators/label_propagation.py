@@ -23,6 +23,8 @@ O(distinct (dst,label)); one changed-count action per superstep.
 
 from __future__ import annotations
 
+from ..plans.lineage import truncate_plan
+
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -59,14 +61,14 @@ def label_propagation(
     if resume and checkpoint is not None and checkpoint.latest_iteration() is not None:
         it0 = checkpoint.latest_iteration()
         saved, meta = checkpoint.load(spark, it0)
-        state = saved.repartition(P, "vertex").localCheckpoint(eager=False)
+        state = saved.repartition(P, "vertex").transform(truncate_plan)
         start_iter = meta["iteration"] + 1
     else:
         state = (
             G.vertices()
             .withColumn("labels", F.col("vertex"))
             .repartition(P, "vertex")
-            .localCheckpoint(eager=False)
+            .transform(truncate_plan)
         )
 
     V = G.number_of_vertices()
@@ -90,7 +92,7 @@ def label_propagation(
                 F.coalesce("new_label", state["labels"]).alias("labels"),
                 state["labels"].alias("old"),
             )
-            .localCheckpoint(eager=False)
+            .transform(truncate_plan)
         )
 
         changed = (

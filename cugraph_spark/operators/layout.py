@@ -30,6 +30,8 @@ update at fa2.cuh:~apply_forces has the same single global reduction).
 
 from __future__ import annotations
 
+from ..plans.lineage import truncate_plan
+
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -127,7 +129,7 @@ def force_atlas2(
     state = (
         state.withColumn("pfx", F.lit(0.0))
         .withColumn("pfy", F.lit(0.0))
-        .localCheckpoint(eager=False)
+        .transform(truncate_plan)
     )
 
     # iteration-0 bbox comes from the same fused aggregate every later
@@ -284,7 +286,7 @@ def force_atlas2(
             F.col("fx").alias("pfx"), F.col("fy").alias("pfy"),
             (F.col("mass") * swing_v).alias("sw"),
             (F.col("mass") * F.lit(0.5) * F.sqrt(sfx * sfx + sfy * sfy)).alias("tr"),
-        ).localCheckpoint(eager=False)
+        ).transform(truncate_plan)
 
         # the ONE action: speed aggregates + next iteration's bbox
         row = moved.agg(

@@ -16,6 +16,8 @@ the standard gather-scatter superstep; O(log V) rounds in practice.
 
 from __future__ import annotations
 
+from ..plans.lineage import truncate_plan
+
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -36,7 +38,7 @@ def approximate_weighted_matching(
         .filter(F.col(SRC) != F.col(DST))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    active = edges.localCheckpoint(eager=False)
+    active = edges.transform(truncate_plan)
     matched = None  # [vertex, partner, w]
 
     for _ in range(max_rounds):
@@ -62,17 +64,17 @@ def approximate_weighted_matching(
                 (offers["offer"] == o2["bv"]) & (o2["boffer"] == offers["vertex"]),
             )
             .select("vertex", F.col("offer").alias("partner"), "w")
-            .localCheckpoint(eager=False)
+            .transform(truncate_plan)
         )
         if mutual.isEmpty():
             break
         matched = mutual if matched is None else matched.unionByName(mutual)
-        matched = matched.localCheckpoint(eager=False)
+        matched = matched.transform(truncate_plan)
         mv = mutual.select("vertex")
         active = (
             active.join(mv.withColumnRenamed("vertex", SRC), SRC, "left_anti")
             .join(mv.withColumnRenamed("vertex", DST), DST, "left_anti")
-            .localCheckpoint(eager=False)
+            .transform(truncate_plan)
         )
 
     verts = G.vertices()

@@ -14,6 +14,8 @@ vertex id) so results are exactly reproducible at any parallelism:
 
 from __future__ import annotations
 
+from ..plans.lineage import truncate_plan
+
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -33,7 +35,7 @@ def maximal_independent_set(
 ) -> DataFrame:
     """Returns [vertex, in_mis] over all vertices."""
     edges = _sym_edges(G).persist(StorageLevel.MEMORY_AND_DISK)
-    active = G.vertices().localCheckpoint(eager=False)
+    active = G.vertices().transform(truncate_plan)
     chosen = None
 
     for rnd in range(max_rounds):
@@ -45,7 +47,7 @@ def maximal_independent_set(
                 F.xxhash64(F.col("vertex"), F.lit(rnd), F.lit(seed)).alias("h"),
                 F.col("vertex").alias("v"),
             ).alias("pri"),
-        ).localCheckpoint(eager=False)
+        ).transform(truncate_plan)
         # min neighbor priority among active neighbors
         act_e = (
             edges.join(pri.withColumnRenamed("vertex", SRC), SRC)
@@ -56,16 +58,16 @@ def maximal_independent_set(
             pri.join(nbr_min, pri["vertex"] == nbr_min[DST], "left")
             .filter(F.col("nm").isNull() | (pri["pri"] < F.col("nm")))
             .select(pri["vertex"])
-            .localCheckpoint(eager=False)
+            .transform(truncate_plan)
         )
         chosen = sel if chosen is None else chosen.unionByName(sel)
-        chosen = chosen.localCheckpoint(eager=False)
+        chosen = chosen.transform(truncate_plan)
         # deactivate selected + their neighbors
         nbrs = edges.join(sel.withColumnRenamed("vertex", SRC), SRC, "left_semi").select(
             F.col(DST).alias("vertex")
         )
         dead = sel.unionByName(nbrs).distinct()
-        active = active.join(dead, "vertex", "left_anti").localCheckpoint(eager=False)
+        active = active.join(dead, "vertex", "left_anti").transform(truncate_plan)
 
     out = G.vertices().join(
         (chosen or G.vertices().limit(0)).withColumn("in_mis", F.lit(True)),
@@ -81,7 +83,7 @@ def vertex_coloring(
     """Greedy MIS-round coloring: [vertex, color] (0-based), proper —
     no edge joins two vertices of the same color."""
     edges_all = _sym_edges(G).persist(StorageLevel.MEMORY_AND_DISK)
-    remaining_v = G.vertices().localCheckpoint(eager=False)
+    remaining_v = G.vertices().transform(truncate_plan)
     remaining_e = edges_all
     out = None
 
@@ -100,17 +102,15 @@ def vertex_coloring(
         iso = remaining_v.join(
             g.vertices(), "vertex", "left_anti"
         )  # vertices with no remaining edges
-        sel = mis_v.unionByName(iso).distinct().localCheckpoint(eager=False)
+        sel = mis_v.unionByName(iso).distinct().transform(truncate_plan)
         colored = sel.withColumn("color", F.lit(color))
         out = colored if out is None else out.unionByName(colored)
-        out = out.localCheckpoint(eager=False)
-        remaining_v = remaining_v.join(sel, "vertex", "left_anti").localCheckpoint(
-            eager=False
-        )
+        out = out.transform(truncate_plan)
+        remaining_v = remaining_v.join(sel, "vertex", "left_anti").transform(truncate_plan)
         remaining_e = (
             remaining_e.join(sel.withColumnRenamed("vertex", SRC), SRC, "left_anti")
             .join(sel.withColumnRenamed("vertex", DST), DST, "left_anti")
-            .localCheckpoint(eager=False)
+            .transform(truncate_plan)
         )
 
     edges_all.unpersist()

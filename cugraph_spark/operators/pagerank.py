@@ -46,6 +46,8 @@ thresholds ``cpp/include/cugraph/graph_view.hpp:250-253``).
 
 from __future__ import annotations
 
+from ..plans.lineage import truncate_plan
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -151,7 +153,7 @@ def pagerank(
     if resume and checkpoint is not None and checkpoint.latest_iteration() is not None:
         it0 = checkpoint.latest_iteration()
         saved, meta = checkpoint.load(spark, it0)
-        state = saved.repartition(P, "vertex").localCheckpoint(eager=False)
+        state = saved.repartition(P, "vertex").transform(truncate_plan)
         start_iter = meta["iteration"] + 1
         dangling = float(meta["metrics"]["dangling_sum"])
     elif nstart is not None:
@@ -163,11 +165,11 @@ def pagerank(
             vstate.join(ns, "vertex", "left")
             .select("vertex", "ows",
                     (F.coalesce("nsval", F.lit(0.0)) / F.lit(nsum)).alias("rank"))
-            .localCheckpoint(eager=False)
+            .transform(truncate_plan)
         )
         dangling = state.filter(F.col("ows") == 0.0).agg(F.sum("rank")).first()[0] or 0.0
     else:
-        state = vstate.withColumn("rank", F.lit(1.0 / V)).localCheckpoint(eager=False)
+        state = vstate.withColumn("rank", F.lit(1.0 / V)).transform(truncate_plan)
         dangling = state.filter(F.col("ows") == 0.0).agg(F.sum("rank")).first()[0] or 0.0
 
     import time as _time
@@ -235,10 +237,10 @@ def pagerank(
             new_rank.alias("rank"),
             state["rank"].alias("old_rank"),
         )
-        # localCheckpoint truncates lineage so superstep N's plan does not
+        # truncate_plan (stats-clean localCheckpoint) truncates lineage so superstep N's plan does not
         # re-analyze supersteps 0..N-1 (SURVEY.md §7.3.1) — the lazy variant
         # materializes inside the convergence action below (one job/superstep).
-        new_full = new_full.localCheckpoint(eager=False)
+        new_full = new_full.transform(truncate_plan)
 
         # one action per superstep: L1 diff + next dangling sum together
         # (the host_scalar_allreduce analog, pagerank_impl.cuh:239-248,321-330)

@@ -25,6 +25,8 @@ per step; the edge side is partitioned once.
 
 from __future__ import annotations
 
+from ..plans.lineage import truncate_plan
+
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -88,7 +90,7 @@ def random_walks(
             frontier.join(ranked, frontier["vertex"] == ranked[SRC])
             .filter(F.col("rnk") - 1 == draw)
             .select("walk_id", F.col(DST).alias("vertex"))
-            .localCheckpoint(eager=False)
+            .transform(truncate_plan)
         )
         if nxt.isEmpty():
             break
@@ -97,7 +99,7 @@ def random_walks(
         )
         frontier = nxt
 
-    result = out.localCheckpoint(eager=False)
+    result = out.transform(truncate_plan)
     edges.unpersist()
     ranked.unpersist()
     walks.unpersist()
@@ -171,7 +173,7 @@ def node2vec_walks(
             scored.filter(F.col("cum") - F.col("bias") <= F.col("u"))
             .filter(F.col("u") < F.col("cum"))
             .select("walk_id", F.col("nxt").alias("vertex"), F.col("cur").alias("prev"))
-            .localCheckpoint(eager=False)
+            .transform(truncate_plan)
         )
         if nxt.isEmpty():
             break
@@ -180,7 +182,7 @@ def node2vec_walks(
         )
         frontier = nxt
 
-    result = out.localCheckpoint(eager=False)
+    result = out.transform(truncate_plan)
     edges.unpersist()
     walks.unpersist()
     return result
@@ -226,7 +228,7 @@ def uniform_neighbor_sample(
                     )
                 )
                 .select(SRC, DST, WGT, F.lit(hop).alias("hop"))
-                .localCheckpoint(eager=False)
+                .transform(truncate_plan)
             )
         else:
             w = Window.partitionBy(SRC).orderBy(
@@ -236,7 +238,7 @@ def uniform_neighbor_sample(
                 cand.withColumn("rn", F.row_number().over(w))
                 .filter(F.col("rn") <= k)
                 .select(SRC, DST, WGT, F.lit(hop).alias("hop"))
-                .localCheckpoint(eager=False)
+                .transform(truncate_plan)
             )
         samples = picked if samples is None else samples.unionByName(picked)
         frontier = picked.select(F.col(DST).alias("v")).distinct()

@@ -24,6 +24,8 @@ SCC wins because color = max reaching vertex).
 
 from __future__ import annotations
 
+from ..plans.lineage import truncate_plan
+
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -41,7 +43,7 @@ def strongly_connected_components(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    unassigned = G.vertices().localCheckpoint(eager=False)
+    unassigned = G.vertices().transform(truncate_plan)
     result = None
 
     rounds = 0
@@ -59,10 +61,10 @@ def strongly_connected_components(
         edges = (
             all_edges.join(unassigned.withColumnRenamed("vertex", SRC), SRC, "left_semi")
             .join(unassigned.withColumnRenamed("vertex", DST), DST, "left_semi")
-            .localCheckpoint(eager=False)
+            .transform(truncate_plan)
         )
         # 1. forward hash-max color propagation to fixpoint
-        color = unassigned.withColumn("color", F.col("vertex")).localCheckpoint(eager=False)
+        color = unassigned.withColumn("color", F.col("vertex")).transform(truncate_plan)
         for _ in range(max_prop_iters):
             msgs = (
                 edges.join(color, edges[SRC] == color["vertex"])
@@ -78,7 +80,7 @@ def strongly_connected_components(
                     ).alias("color"),
                     color["color"].alias("old"),
                 )
-                .localCheckpoint(eager=False)
+                .transform(truncate_plan)
             )
             changed = new_color.agg(
                 F.sum(F.when(F.col("color") != F.col("old"), 1).otherwise(0))
@@ -101,11 +103,11 @@ def strongly_connected_components(
                   .withColumnRenamed("color", "c_dst"), DST)
             .filter(F.col("c_src") == F.col("c_dst"))
             .select(F.col(DST).alias("b_src"), F.col(SRC).alias("b_dst"))
-            .localCheckpoint(eager=False)
+            .transform(truncate_plan)
         )
         scc = color.filter(F.col("vertex") == F.col("color")).select(
             "vertex", F.col("color").alias("labels")
-        ).localCheckpoint(eager=False)
+        ).transform(truncate_plan)
         frontier = scc
         while True:
             step = (
@@ -113,18 +115,16 @@ def strongly_connected_components(
                 .select(F.col("b_dst").alias("vertex"), "labels")
                 .distinct()
                 .join(scc, "vertex", "left_anti")
-                .localCheckpoint(eager=False)
+                .transform(truncate_plan)
             )
             if step.isEmpty():
                 break
-            scc = scc.unionByName(step).localCheckpoint(eager=False)
+            scc = scc.unionByName(step).transform(truncate_plan)
             frontier = step
 
         result = scc if result is None else result.unionByName(scc)
-        result = result.localCheckpoint(eager=False)
-        unassigned = unassigned.join(scc, "vertex", "left_anti").localCheckpoint(
-            eager=False
-        )
+        result = result.transform(truncate_plan)
+        unassigned = unassigned.join(scc, "vertex", "left_anti").transform(truncate_plan)
 
     all_edges.unpersist()
     if result is None:

@@ -29,6 +29,8 @@ state ever.
 
 from __future__ import annotations
 
+from ..plans.lineage import truncate_plan
+
 import math
 
 from pyspark import StorageLevel
@@ -111,7 +113,7 @@ def spectral_embedding(
         ).alias(c)
         for i, c in enumerate(cols)
     ]
-    X = verts.select("vertex", *init).localCheckpoint(eager=False)
+    X = verts.select("vertex", *init).transform(truncate_plan)
     X = _gram_schmidt_cols(X, cols)
 
     for _ in range(num_iters):
@@ -126,7 +128,7 @@ def spectral_embedding(
                 ((F.col(f"x.{c}") + F.coalesce(F.col(f"m.{c}"), F.lit(0.0))) / 2.0).alias(c)
                 for c in cols
             ],
-        ).localCheckpoint(eager=False)
+        ).transform(truncate_plan)
         X = _gram_schmidt_cols(Y, cols)
 
     out = X
@@ -167,7 +169,7 @@ def kmeans(
             cond = dists[j] < best_d
             best = F.when(cond, F.lit(j)).otherwise(best)
             best_d = F.when(cond, dists[j]).otherwise(best_d)
-        assigned = points.withColumn("cluster", best).localCheckpoint(eager=False)
+        assigned = points.withColumn("cluster", best).transform(truncate_plan)
         new_rows = (
             assigned.groupBy("cluster")
             .agg(*[F.avg(c).alias(c) for c in feature_cols])
@@ -207,5 +209,5 @@ def spectral_clustering(
             (F.col(c) / F.when(norm > 0, norm).otherwise(F.lit(1.0))).alias(c)
             for c in cols
         ],
-    ).localCheckpoint(eager=False)
+    ).transform(truncate_plan)
     return kmeans(rown, n_clusters, cols, kmeans_iters, seed)

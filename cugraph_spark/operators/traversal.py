@@ -23,6 +23,8 @@ groupBy(dst).min.
 
 from __future__ import annotations
 
+from ..plans.lineage import truncate_plan
+
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -52,7 +54,7 @@ def bfs(
             F.lit(-1).cast("long").alias("predecessor"),
         )
         .repartition(P, "vertex")
-        .localCheckpoint(eager=False)
+        .transform(truncate_plan)
     )
     frontier = state.filter(F.col("distance") == 0).select("vertex")
     depth = 0
@@ -68,7 +70,7 @@ def bfs(
             cand.join(state, cand[DST] == state["vertex"])
             .filter(F.col("distance") == -1)
             .select(F.col(DST).alias("vertex"), F.col("pred"))
-            .localCheckpoint(eager=False)
+            .transform(truncate_plan)
         )
         n_new = nxt.count()
         if n_new == 0:
@@ -82,7 +84,7 @@ def bfs(
                 F.when(F.col("nv").isNotNull(), F.col("pred")).otherwise(F.col("predecessor")).alias("predecessor"),
             )
             .repartition(P, "vertex")
-            .localCheckpoint(eager=False)
+            .transform(truncate_plan)
         )
         frontier = nxt.select("vertex")
     edges.unpersist()
@@ -114,7 +116,7 @@ def sssp(
             F.when(F.col("vertex") == source, F.lit(0.0)).otherwise(F.lit(None).cast("double")).alias("distance"),
         )
         .repartition(P, "vertex")
-        .localCheckpoint(eager=False)
+        .transform(truncate_plan)
     )
     # frontier = vertices whose distance improved last round
     frontier = state.filter(F.col("distance").isNotNull())
@@ -128,7 +130,7 @@ def sssp(
         improved = joined.filter(
             F.col("cand").isNotNull()
             & (F.col("distance").isNull() | (F.col("cand") < F.col("distance")))
-        ).select(state["vertex"], F.col("cand").alias("distance")).localCheckpoint(eager=False)
+        ).select(state["vertex"], F.col("cand").alias("distance")).transform(truncate_plan)
         n_impr = improved.count()
         if n_impr == 0:
             break
@@ -140,7 +142,7 @@ def sssp(
                 F.when(F.col("iv").isNotNull(), F.col("nd")).otherwise(state["distance"]).alias("distance"),
             )
             .repartition(P, "vertex")
-            .localCheckpoint(eager=False)
+            .transform(truncate_plan)
         )
         frontier = improved
     edges.unpersist()
@@ -158,5 +160,5 @@ def k_hop_neighbors(G: Graph, start: DataFrame, k: int) -> DataFrame:
             reach.join(edges, reach["nbr"] == edges[SRC])
             .select("start_vertex", F.col(DST).alias("nbr"))
         )
-        reach = reach.unionByName(step).distinct().localCheckpoint(eager=False)
+        reach = reach.unionByName(step).distinct().transform(truncate_plan)
     return reach

@@ -14,6 +14,8 @@ Result is the classic MSF (forest if disconnected).
 
 from __future__ import annotations
 
+from ..plans.lineage import truncate_plan
+
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -38,7 +40,7 @@ def minimum_spanning_tree(G: Graph, max_rounds: int = 64) -> DataFrame:
         .unionByName(und.select(F.col(DST).alias("vertex")))
         .distinct()
         .withColumn("c", F.col("vertex"))
-        .localCheckpoint(eager=False)
+        .transform(truncate_plan)
     )
     chosen = None
 
@@ -62,10 +64,10 @@ def minimum_spanning_tree(G: Graph, max_rounds: int = 64) -> DataFrame:
             .select(F.col("m." + SRC).alias(SRC), F.col("m." + DST).alias(DST),
                     F.col("m." + WGT).alias(WGT))
             .distinct()
-            .localCheckpoint(eager=False)
+            .transform(truncate_plan)
         )
         chosen = picked if chosen is None else chosen.unionByName(picked).distinct()
-        chosen = chosen.localCheckpoint(eager=False)
+        chosen = chosen.transform(truncate_plan)
 
         # merge components: hash-min over the picked component-pairs
         pe = (
@@ -87,7 +89,7 @@ def minimum_spanning_tree(G: Graph, max_rounds: int = 64) -> DataFrame:
                     F.least(relabel["lbl"], F.coalesce("nm", relabel["lbl"])).alias("lbl"),
                     relabel["lbl"].alias("old"),
                 )
-                .localCheckpoint(eager=False)
+                .transform(truncate_plan)
             )
             ch = new_rel.agg(
                 F.sum(F.when(F.col("lbl") != F.col("old"), 1).otherwise(0))
@@ -98,7 +100,7 @@ def minimum_spanning_tree(G: Graph, max_rounds: int = 64) -> DataFrame:
         comp = (
             comp.join(relabel, comp["c"] == relabel["node"])
             .select(comp["vertex"], F.col("lbl").alias("c"))
-            .localCheckpoint(eager=False)
+            .transform(truncate_plan)
         )
 
     und.unpersist()

@@ -29,6 +29,8 @@ shuffle on single vertex keys with bounded fan-out √E. Total triangles
 
 from __future__ import annotations
 
+from ..plans.lineage import truncate_plan
+
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -61,7 +63,7 @@ def _prune_low_degree(und: DataFrame, rounds: int) -> DataFrame:
             # materializes once at the first action — without it the
             # round tree is REPLICATED into deg (×2) and both semi-joins,
             # and again into e1/e2/e3 downstream (exponential plan size)
-            .localCheckpoint(eager=False)
+            .transform(truncate_plan)
         )
     return und
 

@@ -29,6 +29,8 @@ changed-count convergence check is the single action per superstep
 
 from __future__ import annotations
 
+from ..plans.lineage import truncate_plan
+
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -69,14 +71,14 @@ def weakly_connected_components(
     if resume and checkpoint is not None and checkpoint.latest_iteration() is not None:
         it0 = checkpoint.latest_iteration()
         saved, meta = checkpoint.load(spark, it0)
-        state = saved.repartition(P, "vertex").localCheckpoint(eager=False)
+        state = saved.repartition(P, "vertex").transform(truncate_plan)
         start_iter = meta["iteration"] + 1
     else:
         state = (
             G.vertices()
             .withColumn("labels", F.col("vertex"))
             .repartition(P, "vertex")
-            .localCheckpoint(eager=False)
+            .transform(truncate_plan)
         )
 
     V = G.number_of_vertices()
@@ -100,7 +102,7 @@ def weakly_connected_components(
                 ).alias("labels"),
                 state["labels"].alias("old"),
             )
-            .localCheckpoint(eager=False)
+            .transform(truncate_plan)
         )
         # pointer jump: labels ← labels(labels) — contraction-level analog
         lab = lowered.select(
@@ -114,7 +116,7 @@ def weakly_connected_components(
                 F.coalesce(labside["ll"], lowered["labels"]).alias("labels"),
                 lowered["old"],
             )
-            .localCheckpoint(eager=False)
+            .transform(truncate_plan)
         )
 
         changed = (
