@@ -21,6 +21,8 @@ oriented edge_triangle_count join (√E fan-out bound).
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
+
 from ..plans.lineage import truncate_plan
 
 from pyspark import StorageLevel
@@ -393,13 +395,20 @@ def ecg(
         edges.unpersist()
         return G.vertices().withColumn("labels", F.col("vertex")), 0.0
 
-    votes = None
-    for i in range(ensemble_size):
+    edges.count()  # materialize the shared cache before concurrent jobs
+
+    def _member(i: int) -> DataFrame:
+        """One ensemble member's co-membership votes. Members are
+        independent job chains over the SAME persisted edge frame, so
+        they run concurrently (Spark schedules jobs from multiple
+        threads onto the shared executor pool — the single-session
+        analog of the reference running ensemble members back-to-back
+        on one GPU; a cluster overlaps them across executors)."""
         part = _move_phase(
             edges, two_m, max_iter=3, resolution=resolution,
             min_gain=1.0e-7, move_mask_seed=seed + i,
         ).select(F.col("vertex").alias("pv"), F.col("labels").alias("pl"))
-        co = (
+        return (
             edges.join(part.withColumnRenamed("pv", SRC)
                        .withColumnRenamed("pl", "l_src"), SRC)
             .join(part.withColumnRenamed("pv", DST)
@@ -409,10 +418,17 @@ def ecg(
                 F.when(F.col("l_src") == F.col("l_dst"), 1).otherwise(0).alias("v"),
             )
         )
-        votes = co if votes is None else (
-            votes.unionByName(co).groupBy(SRC, DST).agg(F.sum("v").alias("v"))
-        )
-        votes = votes.transform(truncate_plan)
+
+    with ThreadPoolExecutor(max_workers=min(ensemble_size, 8)) as pool:
+        cos = list(pool.map(_member, range(ensemble_size)))
+    # one union + ONE keyed aggregation (deterministic: groupBy is
+    # order-insensitive, each member deterministic given its seed)
+    votes = cos[0]
+    for co in cos[1:]:
+        votes = votes.unionByName(co)
+    votes = (
+        votes.groupBy(SRC, DST).agg(F.sum("v").alias("v")).transform(truncate_plan)
+    )
 
     cn = core_number(G)
     core2 = cn.filter(F.col("core_number") >= 2).select("vertex")
