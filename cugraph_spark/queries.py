@@ -49,6 +49,7 @@ from .operators.triangle_count import edge_triangle_count, triangle_count
 from .operators.wcc import weakly_connected_components
 from .functions.ann import cosine_topk_bruteforce, lsh_bucket, _dot, _norm
 from .functions.dedup import (
+    exact_dedup,
     exact_duplicates,
     minhash_dedup_pairs,
     ngram_jaccard_pairs,
@@ -646,6 +647,73 @@ WHERE CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i) >= 0.2
 """
 
 
+def q_doc_curation(spark, sf_dir):
+    """End-to-end training-data curation pipeline — the composition of
+    the individually-oracled text/dedup operators as ONE declarative
+    plan: quality gate (score >= 0.5) -> language gate (identified
+    language) -> exact dedup (keep the min-id representative of each
+    byte-identical group) -> 3-gram near-dup removal (drop the higher
+    id of any surviving pair with Jaccard >= 0.5) -> BPE-ish token
+    count on the survivors. Every stage is scan-stage expressions or a
+    hub-safe keyed shuffle; nothing collects to the driver, so the
+    pipeline shape is the one you'd run at 100 TB."""
+    docs = _read(spark, sf_dir, "documents")
+    scored = language_id(quality_score(docs))
+    kept = scored.filter((F.col("quality") >= 0.5) & (F.col("lang_pred") != "und"))
+    uniq = exact_dedup(kept)
+    near = ngram_jaccard_pairs(uniq, n=3, threshold=0.5)
+    drop = near.select(F.col("b").alias("doc_id")).distinct()
+    out = token_count(uniq.join(drop, "doc_id", "left_anti"),
+                      out_col="n_bpe", mode="bpe_ish")
+    return out.select(
+        "doc_id", "lang_pred",
+        (F.round("quality", 6) + F.lit(0.0)).alias("quality"),
+        "n_bpe",
+    )
+
+
+def _curation_sql() -> str:
+    bpe = (r"CAST(len(regexp_extract_all(u.text, '(''s|''t|''re|''ve|''m|''ll|''d"
+           r"| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+)', 1)) AS BIGINT)")
+    return rf"""
+WITH q AS (SELECT * FROM ({_quality_sql()}) t),
+l AS (SELECT * FROM ({_langid_sql()}) t),
+base AS (
+    SELECT d.doc_id, d.text, q.quality, l.lang_pred
+    FROM documents d JOIN q USING (doc_id) JOIN l USING (doc_id)
+    WHERE q.quality >= 0.5 AND l.lang_pred <> 'und'
+),
+ex AS (SELECT sha256(text) AS g, MIN(doc_id) AS keep FROM base GROUP BY 1),
+uniq AS (
+    SELECT b.* FROM base b JOIN ex ON sha256(b.text) = ex.g AND b.doc_id = ex.keep
+),
+words AS (
+    SELECT doc_id,
+           regexp_split_to_array(trim(lower(regexp_replace(text, '[^\w\s]', '', 'g'))), '\s+') AS w
+    FROM uniq
+),
+grams AS (
+    SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+    FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
+    WHERE len(w) >= 3
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+inter AS (
+    SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+    FROM grams x JOIN grams y ON x.g = y.g AND x.doc_id < y.doc_id
+    GROUP BY 1, 2
+),
+drops AS (
+    SELECT DISTINCT i.b AS doc_id
+    FROM inter i JOIN sizes sa ON i.a = sa.doc_id JOIN sizes sb ON i.b = sb.doc_id
+    WHERE CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i) >= 0.5
+)
+SELECT u.doc_id, u.lang_pred, ROUND(u.quality, 6) + 0.0 AS quality, {bpe} AS n_bpe
+FROM uniq u
+WHERE u.doc_id NOT IN (SELECT doc_id FROM drops)
+"""
+
+
 def q_minhash_pairs(spark, sf_dir):
     """Full MinHash-LSH pipeline on the portable md5-60 hash so DuckDB
     recomputes signatures, bands, candidates AND the Jaccard verify
@@ -1163,6 +1231,7 @@ def queries():
         "doc_quality": q_doc_quality,
         "doc_exact_dups": q_doc_exact_dups,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
+        "doc_curation": q_doc_curation,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "embedding_norms": q_embedding_norms,
@@ -1208,6 +1277,7 @@ def oracle_sql():
         "doc_quality": _quality_sql(),
         "doc_exact_dups": Q_DOC_EXACT_DUPS_SQL,
         "doc_ngram_jaccard": Q_DOC_NGRAM_SQL,
+        "doc_curation": _curation_sql(),
         "embedding_norms": Q_EMBEDDING_NORMS_SQL,
         "cosine_top1": Q_COSINE_TOP1_SQL,
         # round-2 additions: every remaining query gets a twin
