@@ -264,7 +264,7 @@ def _refine_partition(edges: DataFrame, labels: DataFrame) -> DataFrame:
             .groupBy(DST)
             .agg(F.min("r_src").alias("nbr_min"))
         )
-        new_state = (
+        lowered = (
             state.join(msgs, state["vertex"] == msgs[DST], "left")
             .select(
                 state["vertex"],
@@ -272,6 +272,21 @@ def _refine_partition(edges: DataFrame, labels: DataFrame) -> DataFrame:
                     state["refined"], F.coalesce("nbr_min", state["refined"])
                 ).alias("refined"),
                 state["refined"].alias("old"),
+            )
+            .transform(truncate_plan)
+        )
+        # pointer jump: refined ← refined(refined) — same O(log d)
+        # contraction as wcc.py, so long path-shaped communities don't
+        # cost one superstep per hop
+        lab = lowered.select(
+            F.col("vertex").alias("lv"), F.col("refined").alias("ll")
+        )
+        new_state = (
+            lowered.join(lab, lowered["refined"] == lab["lv"], "left")
+            .select(
+                lowered["vertex"],
+                F.coalesce(lab["ll"], lowered["refined"]).alias("refined"),
+                lowered["old"],
             )
             .transform(truncate_plan)
         )
