@@ -46,7 +46,10 @@ from .operators.community import (  # noqa: F401
 from .operators.spectral import spectral_clustering  # noqa: F401
 from .operators.matching import approximate_weighted_matching  # noqa: F401
 from .operators.tree import minimum_spanning_tree  # noqa: F401
-from .operators.betweenness import betweenness_centrality  # noqa: F401
+from .operators.betweenness import (  # noqa: F401
+    betweenness_centrality,
+    edge_betweenness_centrality,
+)
 from .property_graph import PropertyGraph, hypergraph  # noqa: F401
 from .operators.mis import maximal_independent_set, vertex_coloring  # noqa: F401
 from .operators.scc import strongly_connected_components  # noqa: F401

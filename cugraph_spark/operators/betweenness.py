@@ -1,9 +1,11 @@
-"""Betweenness centrality — Brandes with batched sources.
+"""Betweenness centrality (vertex + edge) — Brandes with batched sources.
 
 Reference: ``centrality/betweenness_centrality_impl.cuh`` (752 LoC;
-python ``centrality/betweenness_centrality.py``): exact or
-sampled-source Brandes; results scaled by 1/(#sources) when sampled
-and optionally normalized by 2/((V-1)(V-2)) (undirected).
+vertex at :276, edge at :560; python
+``centrality/betweenness_centrality.py``): exact or sampled-source
+Brandes; vertex results scaled by 1/((V-1)(V-2)) when normalized, edge
+results by 1/(V(V-1)) (impl.cuh:655-670), both × V/#sources when
+sampled.
 
 Spark-first shape (the "sampled sources fan out as parallel jobs" plan
 from SURVEY.md §2.3, realized as ONE DataFrame keyed by source): the
@@ -14,6 +16,10 @@ recording per-level frontiers, then the backward dependency sweep
 walks levels deepest-first with one join per level:
 
     delta(v) += Σ_{w: succ in BFS DAG} sigma(v)/sigma(w) · (1 + delta(w))
+
+and the per-(v,w) term of that sum IS the edge (v,w)'s dependency —
+edge betweenness accumulates the join rows before the per-vertex
+groupBy (same sweeps, one extra keyed aggregation).
 
 Unweighted shortest paths (hop counts), matching the reference's BFS
 variant; vertices unreachable from a source contribute nothing.
@@ -31,25 +37,16 @@ from pyspark.sql import functions as F
 from ..graph import DST, SRC, Graph
 
 
-def betweenness_centrality(
+def _brandes(
     G: Graph,
-    k: int | None = None,
-    sources: DataFrame | None = None,
-    normalized: bool = True,
-    seed: int = 42,
-    num_partitions: int | None = None,
-) -> DataFrame:
-    """Returns [vertex, betweenness_centrality].
-
-    ``k``: number of sources sampled pseudo-randomly but reproducibly —
-    the k smallest by ``xxhash64(vertex, seed)`` (an unbiased uniform
-    subset for any fixed seed, matching the reference's random source
-    sampling while staying deterministic across runs). ``sources``:
-    explicit single-column DataFrame of source vertices (overrides k).
-    ``normalized``: divide by (V-1)(V-2) for directed graphs /
-    ((V-1)(V-2))/2 undirected (reference semantics); sampled runs also
-    scale by V/#sources like the reference estimator.
-    """
+    k: int | None,
+    sources: DataFrame | None,
+    seed: int,
+    num_partitions: int | None,
+    per_edge: bool,
+):
+    """Shared Brandes sweeps. Returns (acc, verts, edges, V, n_sources)
+    where acc is [vertex, bc] (per_edge=False) or [src, dst, bc]."""
     spark = G.edges.sparkSession
     P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     edges = (
@@ -107,14 +104,16 @@ def betweenness_centrality(
 
     # ---- backward sweep: dependency accumulation, deepest first ----
     # delta for the deepest level is 0
-    acc = None  # accumulated per-vertex betweenness contributions
+    acc = None  # accumulated contributions (per vertex or per edge)
     delta = levels[-1].select(
         "source", "vertex", "sigma", F.lit(0.0).alias("delta")
     )
     for lvl in range(len(levels) - 2, -1, -1):
         cur = levels[lvl]
-        # successors of cur in the BFS DAG are delta-rows one level deeper
-        contrib = (
+        # successors of cur in the BFS DAG are delta-rows one level
+        # deeper; the per-row term sigma(v)/sigma(w)·(1+delta(w)) is the
+        # DAG-edge (v,w) dependency for this source
+        j = (
             cur.join(edges, cur["vertex"] == edges[SRC])
             .join(
                 delta.select(
@@ -123,13 +122,25 @@ def betweenness_centrality(
                 ),
                 (F.col(DST) == F.col("w")) & (cur["source"] == F.col("sw")),
             )
-            .groupBy(cur["source"].alias("source"), cur["vertex"].alias("vertex"))
-            .agg(
-                F.sum(
-                    cur["sigma"] / F.col("sigma_w") * (F.lit(1.0) + F.col("delta_w"))
-                ).alias("dep")
+            .select(
+                cur["source"].alias("source"),
+                cur["vertex"].alias("vertex"),
+                F.col("w"),
+                (cur["sigma"] / F.col("sigma_w")
+                 * (F.lit(1.0) + F.col("delta_w"))).alias("term"),
             )
         )
+        if per_edge:
+            part = (
+                j.groupBy(F.col("vertex").alias(SRC), F.col("w").alias(DST))
+                .agg(F.sum("term").alias("bc"))
+            )
+            acc = part if acc is None else (
+                acc.unionByName(part)
+                .groupBy(SRC, DST).agg(F.sum("bc").alias("bc"))
+            )
+            acc = acc.transform(truncate_plan)
+        contrib = j.groupBy("source", "vertex").agg(F.sum("term").alias("dep"))
         delta = (
             cur.join(contrib, ["source", "vertex"], "left")
             .select(
@@ -138,13 +149,38 @@ def betweenness_centrality(
             )
             .transform(truncate_plan)
         )
-        if lvl > 0:  # source itself accumulates nothing
+        if not per_edge and lvl > 0:  # source itself accumulates nothing
             part = delta.groupBy("vertex").agg(F.sum("delta").alias("bc"))
             acc = part if acc is None else (
                 acc.unionByName(part).groupBy("vertex").agg(F.sum("bc").alias("bc"))
             )
             acc = acc.transform(truncate_plan)
 
+    return acc, verts, edges, V, n_sources
+
+
+def betweenness_centrality(
+    G: Graph,
+    k: int | None = None,
+    sources: DataFrame | None = None,
+    normalized: bool = True,
+    seed: int = 42,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Returns [vertex, betweenness_centrality].
+
+    ``k``: number of sources sampled pseudo-randomly but reproducibly —
+    the k smallest by ``xxhash64(vertex, seed)`` (an unbiased uniform
+    subset for any fixed seed, matching the reference's random source
+    sampling while staying deterministic across runs). ``sources``:
+    explicit single-column DataFrame of source vertices (overrides k).
+    ``normalized``: divide by (V-1)(V-2) for directed graphs /
+    ((V-1)(V-2))/2 undirected (reference semantics); sampled runs also
+    scale by V/#sources like the reference estimator.
+    """
+    acc, verts, edges, V, n_sources = _brandes(
+        G, k, sources, seed, num_partitions, per_edge=False
+    )
     if acc is None:
         out = verts.withColumn("bc", F.lit(0.0))
     else:
@@ -165,6 +201,48 @@ def betweenness_centrality(
         scale *= V / n_sources
     out = out.select(
         "vertex", (F.col("bc") * F.lit(scale)).alias("betweenness_centrality")
+    )
+    edges.unpersist()
+    verts.unpersist()
+    return out
+
+
+def edge_betweenness_centrality(
+    G: Graph,
+    k: int | None = None,
+    sources: DataFrame | None = None,
+    normalized: bool = True,
+    seed: int = 42,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Returns [src, dst, betweenness_centrality] — one row per directed
+    edge of ``G.edges`` (for undirected graphs that is both orientations
+    of each edge, the reference's symmetric edge_property layout).
+
+    Scaling per ``betweenness_centrality_impl.cuh:655-670``: normalized
+    → 1/(V(V-1)); unnormalized symmetric → 1/2; sampled → × V/#sources.
+    """
+    acc, verts, edges, V, n_sources = _brandes(
+        G, k, sources, seed, num_partitions, per_edge=True
+    )
+    base = edges.select(SRC, DST)
+    if acc is None:
+        out = base.withColumn("bc", F.lit(0.0))
+    else:
+        out = base.join(acc, [SRC, DST], "left").select(
+            SRC, DST, F.coalesce("bc", F.lit(0.0)).alias("bc")
+        )
+
+    if normalized and V > 1:
+        scale = 1.0 / (V * (V - 1))
+    elif not G.directed:
+        scale = 0.5
+    else:
+        scale = 1.0
+    if n_sources < V:
+        scale *= V / n_sources
+    out = out.select(
+        SRC, DST, (F.col("bc") * F.lit(scale)).alias("betweenness_centrality")
     )
     edges.unpersist()
     verts.unpersist()

@@ -72,41 +72,125 @@ def _pair_intersections(
     )
 
 
-def jaccard(G: Graph, pairs: DataFrame | None = None,
-            hub_threshold: int = DEFAULT_HUB_DEGREE, salt: int = 16) -> DataFrame:
-    """[first, second, jaccard_coeff] (reference column names,
-    link_prediction/jaccard.py)."""
-    if G.directed:
-        raise ValueError("jaccard requires an undirected graph")
-    pi = _pair_intersections(G, pairs, hub_threshold, salt)
-    return pi.select(
-        F.col("a").alias("first"),
-        F.col("b").alias("second"),
-        (F.col("isect") / (F.col("d_a") + F.col("d_b") - F.col("isect"))).alias("jaccard_coeff"),
+def _pair_intersections_weighted(
+    G: Graph,
+    pairs: DataFrame | None,
+    hub_threshold: int = DEFAULT_HUB_DEGREE,
+    salt: int = 16,
+) -> DataFrame:
+    """[a, b, w_min, w_union, wd_a, wd_b] for requested (or all 2-hop)
+    pairs a<b — the ``use_weight=True`` semantics of
+    ``similarity_impl.cuh:130-168``: over common neighbors c,
+    intersection weight = Σ min(w_ac, w_bc); union weight =
+    Σ max(w_ac, w_bc) + (wdeg_a − Σ w_ac) + (wdeg_b − Σ w_bc); the
+    denominators use weighted out-degrees (``weighted_out_degrees``,
+    similarity_impl.cuh:84)."""
+    from ..graph import WGT
+
+    und = (
+        G.edges.select(SRC, DST, WGT)
+        .filter(F.col(SRC) != F.col(DST))
+        .groupBy(SRC, DST)
+        .agg(F.min(WGT).alias("ew"))
+    )
+    wdeg = und.groupBy(F.col(SRC).alias("v")).agg(F.sum("ew").alias("wd"))
+    e1 = und.select(F.col(SRC).alias("a"), F.col(DST).alias("n"), F.col("ew").alias("wa"))
+    e2 = und.select(F.col(SRC).alias("b"), F.col(DST).alias("n"), F.col("ew").alias("wb"))
+    joined = salted_common_neighbor_join(
+        e1, e2, "n", hub_threshold=hub_threshold, salt=salt
+    )
+    isect = (
+        joined.filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(
+            F.sum(F.least("wa", "wb")).alias("w_min"),
+            F.sum(F.greatest("wa", "wb")).alias("w_max"),
+            F.sum("wa").alias("w_ia"),
+            F.sum("wb").alias("w_ib"),
+        )
+    )
+    if pairs is not None:
+        want = pairs.select(
+            F.least(pairs.columns[0], pairs.columns[1]).alias("a"),
+            F.greatest(pairs.columns[0], pairs.columns[1]).alias("b"),
+        ).distinct()
+        isect = want.join(isect, ["a", "b"], "left").select(
+            "a", "b",
+            *[F.coalesce(c, F.lit(0.0)).alias(c)
+              for c in ("w_min", "w_max", "w_ia", "w_ib")],
+        )
+    return (
+        isect.join(wdeg.select(F.col("v").alias("a"), F.col("wd").alias("wd_a")), "a")
+        .join(wdeg.select(F.col("v").alias("b"), F.col("wd").alias("wd_b")), "b")
+        .withColumn(
+            "w_union",
+            F.col("w_max") + (F.col("wd_a") - F.col("w_ia"))
+            + (F.col("wd_b") - F.col("w_ib")),
+        )
     )
 
 
-def overlap(G: Graph, pairs: DataFrame | None = None,
+def _coeff(num, den):
+    """Reference guard: score is 0 when the denominator vanishes
+    (jaccard_impl.cuh:34, overlap_impl.cuh:34, sorensen_impl.cuh:34)."""
+    return F.when(den <= F.lit(0.0), F.lit(0.0)).otherwise(num / den)
+
+
+def jaccard(G: Graph, pairs: DataFrame | None = None, use_weight: bool = False,
+            hub_threshold: int = DEFAULT_HUB_DEGREE, salt: int = 16) -> DataFrame:
+    """[first, second, jaccard_coeff] (reference column names,
+    link_prediction/jaccard.py; ``use_weight`` per jaccard.py:62-99)."""
+    if G.directed:
+        raise ValueError("jaccard requires an undirected graph")
+    if use_weight:
+        if not G.weighted:
+            raise ValueError("use_weight=True requires a weighted graph")
+        pi = _pair_intersections_weighted(G, pairs, hub_threshold, salt)
+        coeff = _coeff(F.col("w_min"), F.col("w_union"))
+    else:
+        pi = _pair_intersections(G, pairs, hub_threshold, salt)
+        coeff = _coeff(
+            F.col("isect"), F.col("d_a") + F.col("d_b") - F.col("isect")
+        )
+    return pi.select(
+        F.col("a").alias("first"), F.col("b").alias("second"),
+        coeff.alias("jaccard_coeff"),
+    )
+
+
+def overlap(G: Graph, pairs: DataFrame | None = None, use_weight: bool = False,
             hub_threshold: int = DEFAULT_HUB_DEGREE, salt: int = 16) -> DataFrame:
     """[first, second, overlap_coeff]."""
     if G.directed:
         raise ValueError("overlap requires an undirected graph")
-    pi = _pair_intersections(G, pairs, hub_threshold, salt)
+    if use_weight:
+        if not G.weighted:
+            raise ValueError("use_weight=True requires a weighted graph")
+        pi = _pair_intersections_weighted(G, pairs, hub_threshold, salt)
+        coeff = _coeff(F.col("w_min"), F.least("wd_a", "wd_b"))
+    else:
+        pi = _pair_intersections(G, pairs, hub_threshold, salt)
+        coeff = _coeff(F.col("isect"), F.least("d_a", "d_b"))
     return pi.select(
-        F.col("a").alias("first"),
-        F.col("b").alias("second"),
-        (F.col("isect") / F.least("d_a", "d_b")).alias("overlap_coeff"),
+        F.col("a").alias("first"), F.col("b").alias("second"),
+        coeff.alias("overlap_coeff"),
     )
 
 
-def sorensen(G: Graph, pairs: DataFrame | None = None,
+def sorensen(G: Graph, pairs: DataFrame | None = None, use_weight: bool = False,
             hub_threshold: int = DEFAULT_HUB_DEGREE, salt: int = 16) -> DataFrame:
     """[first, second, sorensen_coeff]."""
     if G.directed:
         raise ValueError("sorensen requires an undirected graph")
-    pi = _pair_intersections(G, pairs, hub_threshold, salt)
+    if use_weight:
+        if not G.weighted:
+            raise ValueError("use_weight=True requires a weighted graph")
+        pi = _pair_intersections_weighted(G, pairs, hub_threshold, salt)
+        coeff = _coeff(F.lit(2.0) * F.col("w_min"), F.col("wd_a") + F.col("wd_b"))
+    else:
+        pi = _pair_intersections(G, pairs, hub_threshold, salt)
+        coeff = _coeff(F.lit(2.0) * F.col("isect"), F.col("d_a") + F.col("d_b"))
     return pi.select(
-        F.col("a").alias("first"),
-        F.col("b").alias("second"),
-        (F.lit(2.0) * F.col("isect") / (F.col("d_a") + F.col("d_b"))).alias("sorensen_coeff"),
+        F.col("a").alias("first"), F.col("b").alias("second"),
+        coeff.alias("sorensen_coeff"),
     )

@@ -149,13 +149,9 @@ def eigenvector_sql(edges_sql: str, iters: int = 3) -> str:
     )
 
 
-def betweenness_sql(edges_sql: str, depth: int = 6) -> str:
-    """All-sources Brandes twin of operators/betweenness.py (reference
-    centrality/betweenness_centrality_impl.cuh): level-synchronous
-    forward sweep batched over every source (sigma = path counts),
-    then the backward dependency sweep per level, normalized by
-    1/((V-1)(V-2)). ``depth`` must exceed the graph's BFS eccentricity
-    from any source; deeper levels are empty CTEs and contribute 0."""
+def _brandes_parts(edges_sql: str, depth: int) -> list[str]:
+    """Shared Brandes CTE chain (forward sweep + backward deltas) used
+    by both the vertex and edge betweenness twins."""
     parts = [
         f"WITH e0 AS MATERIALIZED ({edges_sql})",
         "e AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0)",
@@ -195,11 +191,22 @@ def betweenness_sql(edges_sql: str, depth: int = 6) -> str:
             f"COALESCE(p.dep, 0.0) AS delta FROM l{d} cur "
             f"LEFT JOIN dep{d} p ON cur.source = p.source AND cur.vertex = p.vertex)"
         )
+    parts.append("vc AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM verts)")
+    return parts
+
+
+def betweenness_sql(edges_sql: str, depth: int = 6) -> str:
+    """All-sources Brandes twin of operators/betweenness.py (reference
+    centrality/betweenness_centrality_impl.cuh): level-synchronous
+    forward sweep batched over every source (sigma = path counts),
+    then the backward dependency sweep per level, normalized by
+    1/((V-1)(V-2)). ``depth`` must exceed the graph's BFS eccentricity
+    from any source; deeper levels are empty CTEs and contribute 0."""
+    parts = _brandes_parts(edges_sql, depth)
     acc_union = " UNION ALL ".join(
         f"SELECT vertex, delta FROM delta{d}" for d in range(1, depth)
     )
     parts.append(f"acc AS MATERIALIZED (SELECT vertex, SUM(delta) AS bc FROM ({acc_union}) GROUP BY vertex)")
-    parts.append("vc AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM verts)")
     return (
         ",\n".join(parts)
         + """
@@ -207,6 +214,35 @@ SELECT vt.vertex,
        ROUND(COALESCE(a.bc, 0.0) * (1.0 / (((SELECT v FROM vc) - 1) * ((SELECT v FROM vc) - 2))), 8) + 0.0
          AS betweenness_centrality
 FROM verts vt LEFT JOIN acc a ON vt.vertex = a.vertex
+"""
+    )
+
+
+def edge_betweenness_sql(edges_sql: str, depth: int = 6) -> str:
+    """All-sources EDGE betweenness twin of
+    operators/betweenness.py:edge_betweenness_centrality (reference
+    betweenness_centrality_impl.cuh:560-670): the per-(v,w) dependency
+    term sigma(v)/sigma(w)·(1+delta(w)) accumulates onto edge (v,w) at
+    every level (including level 0), normalized by 1/(V(V-1))."""
+    parts = _brandes_parts(edges_sql, depth)
+    edep_union = " UNION ALL ".join(
+        f"SELECT cur.vertex AS src, e.dst AS dst, "
+        f"cur.sigma / w.sigma * (1.0 + w.delta) AS term "
+        f"FROM l{d} cur JOIN e ON cur.vertex = e.src "
+        f"JOIN delta{d + 1} w ON w.source = cur.source AND w.vertex = e.dst"
+        for d in range(depth)
+    )
+    parts.append(
+        f"eacc AS MATERIALIZED (SELECT src, dst, SUM(term) AS bc "
+        f"FROM ({edep_union}) GROUP BY src, dst)"
+    )
+    return (
+        ",\n".join(parts)
+        + """
+SELECT e.src, e.dst,
+       ROUND(COALESCE(a.bc, 0.0) * (1.0 / ((SELECT v FROM vc) * ((SELECT v FROM vc) - 1))), 8) + 0.0
+         AS betweenness_centrality
+FROM e LEFT JOIN eacc a ON e.src = a.src AND e.dst = a.dst
 """
     )
 

@@ -370,6 +370,46 @@ ON u.a = s.src AND u.b = s.dst
 """
 
 
+def q_jaccard_w(spark, sf_dir):
+    """Weighted Jaccard (use_weight=True, similarity_impl.cuh:130-168)
+    on the nation graph, whose count weights are non-trivial."""
+    e = edges_nation(spark, sf_dir)
+    G = Graph(e, directed=False, weighted=True)
+    return jaccard(G, use_weight=True).select(
+        "first", "second",
+        (F.round("jaccard_coeff", 6) + F.lit(0.0)).alias("jaccard_coeff"),
+    )
+
+
+Q_JACCARD_W_SQL = f"""
+WITH e AS ({EDGES_NATION_SQL}),
+und AS (
+    SELECT src, dst, MIN(weight) AS w FROM (
+        SELECT src, dst, weight FROM e
+        UNION ALL
+        SELECT dst AS src, src AS dst, weight FROM e
+    ) GROUP BY 1, 2
+),
+nl AS (SELECT * FROM und WHERE src <> dst),
+wdeg AS (SELECT src AS v, SUM(w) AS wd FROM nl GROUP BY 1),
+isect AS (
+    SELECT a.src AS a, b.src AS b,
+           SUM(LEAST(a.w, b.w)) AS w_min,
+           SUM(GREATEST(a.w, b.w)) AS w_max,
+           SUM(a.w) AS w_ia,
+           SUM(b.w) AS w_ib
+    FROM nl a JOIN nl b ON a.dst = b.dst AND a.src < b.src
+    GROUP BY 1, 2
+)
+SELECT i.a AS first, i.b AS second,
+       ROUND(CASE WHEN (i.w_max + (da.wd - i.w_ia) + (db.wd - i.w_ib)) <= 0
+                  THEN 0.0
+                  ELSE i.w_min / (i.w_max + (da.wd - i.w_ia) + (db.wd - i.w_ib))
+             END, 6) + 0.0 AS jaccard_coeff
+FROM isect i JOIN wdeg da ON i.a = da.v JOIN wdeg db ON i.b = db.v
+"""
+
+
 def q_jaccard(spark, sf_dir):
     e = edges_ss(spark, sf_dir)
     G = Graph(e, directed=False, weighted=True)
@@ -1172,6 +1212,17 @@ def q_betweenness(spark, sf_dir):
     )
 
 
+def q_edge_betweenness(spark, sf_dir):
+    from .operators.betweenness import edge_betweenness_centrality
+
+    e = edges_nation(spark, sf_dir)
+    G = Graph(e, directed=True, weighted=True)
+    return edge_betweenness_centrality(G).select(
+        "src", "dst",
+        (F.round("betweenness_centrality", 8) + F.lit(0.0)).alias("betweenness_centrality"),
+    )
+
+
 def q_neighbor_sample(spark, sf_dir):
     """Invariant-checked neighbor sampling: per (src, hop) the sample
     must contain exactly min(fanout, out_degree) DISTINCT real edges;
@@ -1215,6 +1266,7 @@ def queries():
         "triangle_count": q_triangle_count,
         "edge_triangle_count": q_edge_triangle_count,
         "jaccard": q_jaccard,
+        "jaccard_w": q_jaccard_w,
         "bfs": q_bfs,
         "two_hop": q_two_hop,
         "core_number": q_core_number,
@@ -1253,6 +1305,7 @@ def queries():
         "coloring": q_coloring,
         "neighbor_sample": q_neighbor_sample,
         "betweenness": q_betweenness,
+        "edge_betweenness": q_edge_betweenness,
         "scc": q_scc,
         "mis": q_mis,
     }
@@ -1270,6 +1323,7 @@ def oracle_sql():
         "triangle_count": Q_TRIANGLE_SQL,
         "edge_triangle_count": Q_EDGE_TRIANGLE_SQL,
         "jaccard": Q_JACCARD_SQL,
+        "jaccard_w": Q_JACCARD_W_SQL,
         "bfs": Q_BFS_SQL,
         "two_hop": Q_TWO_HOP_SQL,
         "doc_language": _langid_sql(),
@@ -1299,6 +1353,7 @@ def oracle_sql():
         "matching": ob.all_vertices_ok_sql(EDGES_NATION_SQL),
         "spectral": ob.all_vertices_ok_sql(EDGES_NATION_SQL),
         "betweenness": ob.betweenness_sql(EDGES_NATION_SQL, depth=6),
+        "edge_betweenness": ob.edge_betweenness_sql(EDGES_NATION_SQL, depth=6),
         "hypergraph_bipartite": Q_HYPERGRAPH_SQL,
         "k_core5": ob.k_core_sql(EDGES_SS_SQL, k=5, iters=6),
         "hungarian6": Q_HUNGARIAN_SQL,

@@ -397,6 +397,54 @@ def betweenness_ref(edges, n=None, directed=True, normalized=True, sources=None)
     return bc * scale
 
 
+def edge_betweenness_ref(edges, n=None, directed=True, normalized=True):
+    """Brandes exact EDGE betweenness (unweighted) as {(u,v): bc} over
+    directed adjacency rows (both orientations for undirected graphs);
+    reference rescale: normalized → 1/(n(n-1)); unnormalized
+    undirected → 0.5 (betweenness_centrality_impl.cuh:655-670)."""
+    from collections import deque
+
+    src, dst, _, n_auto = _to_arrays(edges)
+    n = n if n is not None else n_auto
+    adj = [[] for _ in range(n)]
+    for s, d in zip(src, dst):
+        adj[s].append(d)
+        if not directed:
+            adj[d].append(s)
+    ebc: dict = {}
+    for s in range(n):
+        sigma = np.zeros(n)
+        dist = np.full(n, -1)
+        preds = [[] for _ in range(n)]
+        sigma[s] = 1.0
+        dist[s] = 0
+        order = []
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            order.append(u)
+            for v in adj[u]:
+                if dist[v] == -1:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+                if dist[v] == dist[u] + 1:
+                    sigma[v] += sigma[u]
+                    preds[v].append(u)
+        delta = np.zeros(n)
+        for v in reversed(order):
+            for u in preds[v]:
+                term = sigma[u] / sigma[v] * (1 + delta[v])
+                delta[u] += term
+                ebc[(u, v)] = ebc.get((u, v), 0.0) + term
+    if normalized and n > 1:
+        scale = 1.0 / (n * (n - 1))
+    elif not directed:
+        scale = 0.5
+    else:
+        scale = 1.0
+    return {k: v * scale for k, v in ebc.items()}
+
+
 def scc_ref(edges, n=None):
     """Tarjan SCC; labels = max vertex id per component."""
     src, dst, _, n_auto = _to_arrays(edges)

@@ -196,3 +196,55 @@ def test_betweenness_sampled_sources(spark):
     ref = betweenness_ref(edges, directed=True, normalized=False, sources=srcs)
     for v, b in got.items():
         assert abs(b - ref[v]) < 1e-9, f"vertex {v}"
+
+
+def test_edge_betweenness_matches_oracle_directed(spark):
+    from cugraph_spark.operators.betweenness import edge_betweenness_centrality
+    from .oracles import edge_betweenness_ref
+    from .conftest import edges_df, make_edges
+
+    edges = make_edges("directed_asym")
+    G = Graph(edges_df(spark, edges), directed=True)
+    got = {(r["src"], r["dst"]): r["betweenness_centrality"]
+           for r in edge_betweenness_centrality(G).collect()}
+    ref = edge_betweenness_ref(edges, directed=True)
+    for e, b in got.items():
+        assert abs(b - ref.get(e, 0.0)) < 1e-9, f"edge {e}"
+    assert set(ref) <= set(got)  # every DAG edge with weight is reported
+
+
+def test_edge_betweenness_matches_oracle_undirected(spark):
+    from cugraph_spark.operators.betweenness import edge_betweenness_centrality
+    from .oracles import edge_betweenness_ref
+    from .conftest import edges_df, make_edges
+
+    edges = make_edges("triangle_mesh")
+    G = Graph(edges_df(spark, edges), directed=False)
+    got = {(r["src"], r["dst"]): r["betweenness_centrality"]
+           for r in edge_betweenness_centrality(G, normalized=False).collect()}
+    ref = edge_betweenness_ref(edges, directed=False, normalized=False)
+    for e, b in got.items():
+        assert abs(b - ref.get(e, 0.0)) < 1e-9, f"edge {e}"
+
+
+def test_weighted_jaccard_hand_graph(spark):
+    """use_weight=True semantics (similarity_impl.cuh:130-168) on a hand
+    graph: a-c w=2, b-c w=3, a-d w=1, b-d w=5, a-b w=4."""
+    from cugraph_spark.operators.similarity import jaccard, overlap, sorensen
+
+    rows = [(0, 2, 2.0), (1, 2, 3.0), (0, 3, 1.0), (1, 3, 5.0), (0, 1, 4.0)]
+    e = spark.createDataFrame(rows, "src long, dst long, weight double")
+    G = Graph(e, directed=False, weighted=True)
+    jw = {(r["first"], r["second"]): r["jaccard_coeff"]
+          for r in jaccard(G, use_weight=True).collect()}
+    # pair (0,1): common nbrs {2,3}; min-sum=2+1=3; max-sum=3+5=8;
+    # wd_0=2+1+4=7, wd_1=3+5+4=12; intersect sums: ia=3, ib=8;
+    # union = 8 + (7-3) + (12-8) = 16 (the direct 0-1 edge weight sits
+    # in BOTH unique remainders, per similarity_impl.cuh:159-162)
+    assert abs(jw[(0, 1)] - 3.0 / 16.0) < 1e-12
+    ow = {(r["first"], r["second"]): r["overlap_coeff"]
+          for r in overlap(G, use_weight=True).collect()}
+    assert abs(ow[(0, 1)] - 3.0 / 7.0) < 1e-12
+    sw = {(r["first"], r["second"]): r["sorensen_coeff"]
+          for r in sorensen(G, use_weight=True).collect()}
+    assert abs(sw[(0, 1)] - 2.0 * 3.0 / 19.0) < 1e-12
