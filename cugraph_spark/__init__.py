@@ -10,14 +10,20 @@ are handled explicitly for 100 TB-scale inputs.
 
 from .graph import (  # noqa: F401
     Graph,
+    relabel,
     renumber,
+    replicate_edgelist,
     symmetrize,
+    symmetrize_df,
     unrenumber,
     remove_self_loops,
     drop_multi_edges,
 )
 from .operators.pagerank import FailedToConvergeError, pagerank  # noqa: F401
-from .operators.wcc import weakly_connected_components  # noqa: F401
+from .operators.wcc import (  # noqa: F401
+    connected_components,
+    weakly_connected_components,
+)
 from .operators.label_propagation import label_propagation  # noqa: F401
 from .operators.triangle_count import edge_triangle_count, triangle_count  # noqa: F401
 from .operators.centrality import (  # noqa: F401
@@ -26,26 +32,51 @@ from .operators.centrality import (  # noqa: F401
     hits,
     katz_centrality,
 )
-from .operators.traversal import bfs, k_hop_neighbors, sssp  # noqa: F401
+from .operators.traversal import (  # noqa: F401
+    bfs,
+    concurrent_bfs,
+    filter_unreachable,
+    k_hop_neighbors,
+    multi_source_bfs,
+    shortest_path,
+    shortest_path_length,
+    sssp,
+)
 from .operators.cores import core_number, k_core  # noqa: F401
-from .operators.similarity import jaccard, overlap, sorensen  # noqa: F401
+from .operators.similarity import (  # noqa: F401
+    jaccard,
+    jaccard_coefficient,
+    overlap,
+    overlap_coefficient,
+    sorensen,
+    sorensen_coefficient,
+)
 from .operators.sampling import (  # noqa: F401
     node2vec_walks,
     random_walks,
+    rw_path,
     uniform_neighbor_sample,
 )
 from .operators.community import (  # noqa: F401
+    batched_ego_graphs,
     coarsen_graph,
     ecg,
     ego_graph,
     k_truss,
+    ktruss_subgraph,
     leiden,
     louvain,
     modularity,
 )
-from .operators.spectral import spectral_clustering  # noqa: F401
+from .operators.spectral import (  # noqa: F401
+    analyze_clustering_edge_cut,
+    analyze_clustering_modularity,
+    analyze_clustering_ratio_cut,
+    spectral_clustering,
+    spectral_modularity_maximization_clustering,
+)
 from .operators.matching import approximate_weighted_matching  # noqa: F401
-from .operators.tree import minimum_spanning_tree  # noqa: F401
+from .operators.tree import maximum_spanning_tree, minimum_spanning_tree  # noqa: F401
 from .operators.betweenness import (  # noqa: F401
     betweenness_centrality,
     edge_betweenness_centrality,

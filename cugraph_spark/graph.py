@@ -76,6 +76,12 @@ def remove_self_loops(edges: DataFrame) -> DataFrame:
     return edges.filter(F.col(SRC) != F.col(DST))
 
 
+def symmetrize_df(edges: DataFrame) -> DataFrame:
+    """Reference ``symmetrize_df`` export — symmetrize on a plain edge
+    DataFrame (same thing in this engine; kept for API parity)."""
+    return symmetrize(edges)
+
+
 def drop_multi_edges(edges: DataFrame, keep: str = "min") -> DataFrame:
     """Dedup parallel edges (cugraph ``remove_multi_edges.cu``;
     invoked from ``simpleGraph.py:307``). keep='min'|'sum' weight policy."""
@@ -247,6 +253,87 @@ class Graph:
                 rows.append((v, int(indices[p]), w))
         e = spark.createDataFrame(rows, schema="src long, dst long, weight double")
         return cls(e, directed=directed, weighted=weights is not None)
+
+    @classmethod
+    def from_pandas_adjacency(cls, spark, pdf, directed: bool = True) -> "Graph":
+        """cugraph ``from_pandas_adjacency`` analog (graph_classes.py):
+        dense V×V adjacency (index/columns = vertex labels, 0 = no
+        edge) → COO edge DataFrame. Driver-side convenience for small
+        graphs, like the reference."""
+        labels = list(pdf.index)
+        rows = []
+        vals = pdf.values
+        for i, u in enumerate(labels):
+            for j, v in enumerate(labels):
+                w = float(vals[i][j])
+                if w != 0.0:
+                    rows.append((int(u), int(v), w))
+        e = spark.createDataFrame(rows, schema="src long, dst long, weight double")
+        return cls(e, directed=directed, weighted=True)
+
+    @classmethod
+    def from_numpy_array(cls, spark, arr, directed: bool = True) -> "Graph":
+        """cugraph ``from_numpy_array`` analog: dense adjacency ndarray
+        (vertex ids = row/col positions) → COO edges."""
+        import pandas as pd
+
+        n = arr.shape[0]
+        return cls.from_pandas_adjacency(
+            spark, pd.DataFrame(arr, index=range(n), columns=range(n)),
+            directed=directed,
+        )
+
+    # reference keeps the deprecated *_matrix spellings as aliases
+    from_numpy_matrix = from_numpy_array
+
+    def to_pandas_edgelist(self):
+        """cugraph ``to_pandas_edgelist`` analog — driver-side collect;
+        intended for small (sub)graphs like the reference's."""
+        return self.edges.toPandas()
+
+    def to_pandas_adjacency(self):
+        """cugraph ``to_pandas_adjacency`` analog: dense V×V weight
+        matrix indexed by sorted vertex id. Driver-side; O(V²)."""
+        import numpy as np
+        import pandas as pd
+
+        vs = sorted(r["vertex"] for r in self.vertices().collect())
+        idx = {v: i for i, v in enumerate(vs)}
+        m = np.zeros((len(vs), len(vs)))
+        for r in self.edges.collect():
+            m[idx[r[SRC]], idx[r[DST]]] = r[WGT] if self.weighted else 1.0
+        return pd.DataFrame(m, index=vs, columns=vs)
+
+    def to_numpy_array(self):
+        """cugraph ``to_numpy_array`` analog (dense adjacency)."""
+        return self.to_pandas_adjacency().values
+
+    to_numpy_matrix = to_numpy_array
+
+    # ---- predicates (graph_classes.py is_* surface) ----
+
+    def is_weighted(self) -> bool:
+        return self.weighted
+
+    def is_directed(self) -> bool:
+        return self.directed
+
+    def is_renumbered(self) -> bool:
+        return self.mapping is not None
+
+    def is_multigraph(self) -> bool:
+        """Always False: parallel edges are deduped at construction
+        (drop_multi_edges) unless multi_edge=True was passed — mirror
+        of cugraph Graph vs MultiGraph split."""
+        return False
+
+    def is_bipartite(self) -> bool:
+        """False for the plain Graph, like the reference (bipartite
+        handling lives in PropertyGraph/hypergraph here)."""
+        return False
+
+    def is_multipartite(self) -> bool:
+        return False
 
     # ---- introspection (simpleGraph.py:808-855,1278-1369) ----
 

@@ -528,3 +528,19 @@ def k_truss(G: Graph, k: int, max_iter: int = 100) -> DataFrame:
             break
         n_before = n_after
     return cur.edges.filter(F.col(SRC) < F.col(DST)).select(SRC, DST)
+
+
+def ktruss_subgraph(G: Graph, k: int, max_iter: int = 100) -> Graph:
+    """Reference ``ktruss_subgraph`` export (community/ktruss_subgraph.py):
+    the k-truss as a Graph (k_truss returns the surviving edge list)."""
+    surv = k_truss(G, k, max_iter=max_iter)  # [src, dst] with src < dst
+    e = surv.join(
+        G.edges.filter(F.col(SRC) < F.col(DST)), [SRC, DST], "inner"
+    ) if WGT in G.edges.columns else surv.withColumn(WGT, F.lit(1.0))
+    return Graph(e, directed=False, weighted=G.weighted)
+
+
+def batched_ego_graphs(G: Graph, seeds: DataFrame, radius: int = 1) -> DataFrame:
+    """Reference ``batched_ego_graphs`` export — ego_graph already runs
+    batched over a seed DataFrame here."""
+    return ego_graph(G, seeds, radius=radius)

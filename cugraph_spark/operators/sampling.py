@@ -246,3 +246,23 @@ def uniform_neighbor_sample(
     return samples if samples is not None else G.edges.limit(0).withColumn(
         "hop", F.lit(0)
     )
+
+
+def rw_path(walks: DataFrame) -> DataFrame:
+    """Reference ``rw_path`` export (sampling/random_walks.py): convert
+    the flat [walk_id, step, vertex] walk rows into one row per walk
+    with the ordered vertex path (the legacy offsets/lengths accessor,
+    array-valued here)."""
+    return (
+        walks.groupBy("walk_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("step"), F.col("vertex")))
+            ).alias("_s")
+        )
+        .select(
+            "walk_id",
+            F.transform(F.col("_s"), lambda s: s["vertex"]).alias("path"),
+            F.size("_s").alias("path_length"),
+        )
+    )

@@ -194,3 +194,19 @@ def sorensen(G: Graph, pairs: DataFrame | None = None, use_weight: bool = False,
         F.col("a").alias("first"), F.col("b").alias("second"),
         coeff.alias("sorensen_coeff"),
     )
+
+
+def jaccard_coefficient(G: Graph, ebunch: DataFrame | None = None, **kw) -> DataFrame:
+    """NetworkX-compat export (link_prediction/jaccard.py:
+    ``jaccard_coefficient``) — jaccard over an optional pair list."""
+    return jaccard(G, pairs=ebunch, **kw)
+
+
+def overlap_coefficient(G: Graph, ebunch: DataFrame | None = None, **kw) -> DataFrame:
+    """NetworkX-compat export — overlap over an optional pair list."""
+    return overlap(G, pairs=ebunch, **kw)
+
+
+def sorensen_coefficient(G: Graph, ebunch: DataFrame | None = None, **kw) -> DataFrame:
+    """NetworkX-compat export — sorensen over an optional pair list."""
+    return sorensen(G, pairs=ebunch, **kw)

@@ -211,3 +211,153 @@ def spectral_clustering(
         ],
     ).transform(truncate_plan)
     return kmeans(rown, n_clusters, cols, kmeans_iters, seed)
+
+
+def modularity_embedding(
+    G: Graph,
+    k: int,
+    num_iters: int = 30,
+    seed: int = 42,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """[vertex, e0..e{k-1}] — the dominant k-dim subspace of the
+    modularity matrix B = A − k·kᵀ/2m (the
+    ``spectralModularityMaximizationClustering`` embedding,
+    ``community/legacy/spectral_clustering.cu``). B is never
+    materialized: per superstep, B·X = (A·X) − deg·(degᵀX)/2m, where
+    A·X is the usual edges⋈state SpMV and degᵀX is ONE k-column
+    aggregate (a scalar per column, the host_scalar_allreduce analog).
+    A +c·I shift (c = max weighted degree) keeps the iterated operator
+    PSD so power iteration converges to B's top eigenvectors."""
+    if G.directed:
+        raise ValueError("modularity_embedding requires an undirected graph")
+    spark = G.edges.sparkSession
+    P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cols = [f"e{i}" for i in range(k)]
+
+    deg = G.edges.groupBy(F.col(SRC).alias("vertex")).agg(F.sum(WGT).alias("d"))
+    verts = (
+        G.vertices()
+        .join(deg, "vertex", "left")
+        .select("vertex", F.coalesce("d", F.lit(0.0)).alias("d"))
+        .repartition(P, "vertex")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    row = verts.agg(F.sum("d").alias("m2"), F.max("d").alias("dmax")).first()
+    two_m, shift = float(row["m2"] or 0.0), float(row["dmax"] or 1.0)
+    if two_m <= 0.0:
+        return verts.select("vertex", *[F.lit(0.0).alias(c) for c in cols])
+    ed = G.edges.select(SRC, DST, WGT).repartition(P, SRC).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+
+    init = [
+        (
+            (F.pmod(F.xxhash64(F.col("vertex"), F.lit(seed + i)), F.lit(1 << 20))
+             / F.lit(float(1 << 20))) - F.lit(0.5)
+        ).alias(c)
+        for i, c in enumerate(cols)
+    ]
+    X = verts.select("vertex", "d", *init).transform(truncate_plan)
+    X = _gram_schmidt_cols(X, cols).join(verts.select("vertex", "d"), "vertex")
+
+    for _ in range(num_iters):
+        # degᵀX per column — one fused aggregate
+        dt = X.agg(*[F.sum(F.col(c) * F.col("d")).alias(c) for c in cols]).first()
+        msgs = ed.join(X, ed[SRC] == X["vertex"]).groupBy(DST).agg(
+            *[F.sum(F.col(c) * F.col(WGT)).alias(c) for c in cols]
+        )
+        Y = X.alias("x").join(msgs.alias("m"), X["vertex"] == msgs[DST], "left").select(
+            F.col("x.vertex").alias("vertex"),
+            F.col("x.d").alias("d"),
+            *[
+                (
+                    F.coalesce(F.col(f"m.{c}"), F.lit(0.0))
+                    - F.col("x.d") * F.lit(float(dt[c]) / two_m)
+                    + F.lit(shift) * F.col(f"x.{c}")
+                ).alias(c)
+                for c in cols
+            ],
+        ).transform(truncate_plan)
+        X = _gram_schmidt_cols(Y, cols).join(verts.select("vertex", "d"), "vertex")
+
+    out = X.select("vertex", *cols)
+    ed.unpersist()
+    verts.unpersist()
+    return out
+
+
+def spectral_modularity_maximization_clustering(
+    G: Graph,
+    n_clusters: int,
+    num_eigen_iters: int = 30,
+    kmeans_iters: int = 20,
+    seed: int = 42,
+) -> DataFrame:
+    """``spectralModularityMaximizationClustering`` analog: k-means on
+    the dominant modularity-matrix subspace. Returns [vertex, cluster]."""
+    cols = [f"e{i}" for i in range(n_clusters)]
+    emb = modularity_embedding(G, n_clusters, num_eigen_iters, seed)
+    return kmeans(emb, n_clusters, cols, kmeans_iters, seed)
+
+
+def analyze_clustering_modularity(
+    G: Graph, labels: DataFrame, label_col: str = "cluster"
+) -> float:
+    """``analyzeClustering_modularity`` analog: modularity of the given
+    clustering on G's weights."""
+    from .community import modularity
+
+    assignment = labels.select(
+        F.col(labels.columns[0]).alias("vertex"), F.col(label_col).alias("labels")
+    )
+    return modularity(G, assignment)
+
+
+def analyze_clustering_edge_cut(
+    G: Graph, labels: DataFrame, label_col: str = "cluster"
+) -> float:
+    """``analyzeClustering_edge_cut`` analog: total weight of edges
+    whose endpoints fall in different clusters (each undirected edge
+    counted once — G.edges holds both orientations)."""
+    lab = labels.select(
+        F.col(labels.columns[0]).alias("lv"), F.col(label_col).alias("ll")
+    )
+    cut = (
+        G.edges.filter(F.col(SRC) != F.col(DST))
+        .join(lab.withColumnRenamed("lv", SRC).withColumnRenamed("ll", "l_src"), SRC)
+        .join(lab.withColumnRenamed("lv", DST).withColumnRenamed("ll", "l_dst"), DST)
+        .filter(F.col("l_src") != F.col("l_dst"))
+        .agg(F.sum(WGT))
+        .first()[0]
+    )
+    cut = float(cut or 0.0)
+    return cut / 2.0 if not G.directed else cut
+
+
+def analyze_clustering_ratio_cut(
+    G: Graph, labels: DataFrame, label_col: str = "cluster"
+) -> float:
+    """``analyzeClustering_ratio_cut`` analog: Σ_c cut(c)/|c| where
+    cut(c) is the weight of edges leaving cluster c."""
+    lab = labels.select(
+        F.col(labels.columns[0]).alias("lv"), F.col(label_col).alias("ll")
+    )
+    sizes = lab.groupBy(F.col("ll").alias("c")).agg(F.count("*").alias("n"))
+    # per-cluster outgoing cut weight; G.edges holds both orientations
+    # for undirected graphs, so grouping by the src side counts each
+    # cut edge once per endpoint cluster — exactly cut(c)
+    per_c = (
+        G.edges.filter(F.col(SRC) != F.col(DST))
+        .join(lab.withColumnRenamed("lv", SRC).withColumnRenamed("ll", "l_src"), SRC)
+        .join(lab.withColumnRenamed("lv", DST).withColumnRenamed("ll", "l_dst"), DST)
+        .filter(F.col("l_src") != F.col("l_dst"))
+        .groupBy(F.col("l_src").alias("c"))
+        .agg(F.sum(WGT).alias("cut"))
+    )
+    row = (
+        sizes.join(per_c, "c", "left")
+        .agg(F.sum(F.coalesce("cut", F.lit(0.0)) / F.col("n")))
+        .first()
+    )
+    return float(row[0] or 0.0)

@@ -162,3 +162,78 @@ def k_hop_neighbors(G: Graph, start: DataFrame, k: int) -> DataFrame:
         )
         reach = reach.unionByName(step).distinct().transform(truncate_plan)
     return reach
+
+
+def multi_source_bfs(
+    G: Graph,
+    sources: DataFrame,
+    max_depth: int | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Batched BFS from every source at once (reference
+    ``multi_source_bfs`` / ``concurrent_bfs`` exports,
+    python ``traversal/bfs.py``): ONE state DataFrame keyed by
+    (source, vertex) advances all frontiers per superstep — the same
+    batched-frontier shape as betweenness's forward sweep, so S sources
+    cost one join per level, not S jobs. Returns
+    [source, vertex, distance, predecessor] for REACHED pairs only;
+    predecessor is the min-id parent (−1 for the source row itself)."""
+    spark = G.edges.sparkSession
+    P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges = (
+        G.edges.select(SRC, DST).distinct()
+        .repartition(P, SRC).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    src_df = sources.select(F.col(sources.columns[0]).alias("source"))
+    frontier = src_df.select(
+        "source", F.col("source").alias("vertex"),
+        F.lit(0).cast("long").alias("distance"),
+        F.lit(-1).cast("long").alias("predecessor"),
+    ).transform(truncate_plan)
+    result = frontier
+    depth = 0
+    while max_depth is None or depth < max_depth:
+        depth += 1
+        cand = (
+            frontier.join(edges, frontier["vertex"] == edges[SRC])
+            .groupBy("source", F.col(DST).alias("vertex"))
+            .agg(F.min(edges[SRC]).alias("predecessor"))
+        )
+        nxt = (
+            cand.join(result.select("source", "vertex"), ["source", "vertex"], "left_anti")
+            .select(
+                "source", "vertex",
+                F.lit(depth).cast("long").alias("distance"),
+                F.col("predecessor").cast("long"),
+            )
+            .transform(truncate_plan)
+        )
+        if nxt.isEmpty():
+            break
+        result = result.unionByName(nxt).transform(truncate_plan)
+        frontier = nxt
+    edges.unpersist()
+    return result
+
+
+def concurrent_bfs(G: Graph, sources: DataFrame, **kw) -> DataFrame:
+    """Reference ``concurrent_bfs`` export — alias of multi_source_bfs."""
+    return multi_source_bfs(G, sources, **kw)
+
+
+def shortest_path(G: Graph, source: int, **kw) -> DataFrame:
+    """Reference ``shortest_path`` export (traversal/sssp.py) — sssp."""
+    return sssp(G, source, **kw)
+
+
+def shortest_path_length(G: Graph, source: int, **kw) -> DataFrame:
+    """Reference ``shortest_path_length`` export: [vertex, distance]."""
+    return sssp(G, source, **kw).select("vertex", "distance")
+
+
+def filter_unreachable(df: DataFrame) -> DataFrame:
+    """Reference ``filter_unreachable`` export (traversal/sssp.py): drop
+    rows whose distance marks unreachability (NULL from sssp, −1 from
+    bfs, +inf from padded inputs)."""
+    d = F.col("distance")
+    return df.filter(d.isNotNull() & (d >= 0) & (d != float("inf")))

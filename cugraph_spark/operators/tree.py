@@ -107,3 +107,20 @@ def minimum_spanning_tree(G: Graph, max_rounds: int = 64) -> DataFrame:
     if chosen is None:
         return G.edges.limit(0).select(SRC, DST, WGT)
     return chosen.select(SRC, DST, WGT)
+
+
+def maximum_spanning_tree(G: Graph, max_rounds: int = 64) -> DataFrame:
+    """Maximum spanning tree/forest (reference
+    ``tree/legacy/mst.cu`` export ``maximum_spanning_tree``,
+    python ``tree/minimum_spanning_tree.py:maximum_spanning_tree``):
+    Borůvka on negated weights, weights restored on output. Ties break
+    deterministically toward the lexicographically smallest (src, dst)
+    among maximum-weight edges."""
+    neg = G.edges.select(SRC, DST, (-F.col(WGT)).alias(WGT))
+    g = Graph.__new__(Graph)
+    g.edges = neg
+    g.directed = G.directed
+    g.weighted = G.weighted
+    g.mapping = None
+    out = minimum_spanning_tree(g, max_rounds=max_rounds)
+    return out.select(SRC, DST, (-F.col(WGT)).alias(WGT))

@@ -139,3 +139,16 @@ def weakly_connected_components(
 
     edges.unpersist()
     return state.select("vertex", "labels")
+
+
+def connected_components(G: Graph, connection: str = "weak", **kw) -> DataFrame:
+    """Reference ``connected_components`` export
+    (components/connectivity.py): dispatch on ``connection`` —
+    "weak" → weakly_connected_components, "strong" → SCC."""
+    if connection == "weak":
+        return weakly_connected_components(G, **kw)
+    if connection == "strong":
+        from .scc import strongly_connected_components
+
+        return strongly_connected_components(G, **kw)
+    raise ValueError(f"unknown connection type: {connection!r}")

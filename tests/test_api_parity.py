@@ -1,0 +1,145 @@
+"""API-parity surface: the reference's remaining python exports
+(cugraph/__init__.py:14-110) re-created on Spark — converters,
+predicates, traversal aliases, multi-source BFS, max spanning tree,
+clustering analysis scorers, modularity-maximization spectral."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from cugraph_spark import (
+    Graph,
+    analyze_clustering_edge_cut,
+    analyze_clustering_modularity,
+    analyze_clustering_ratio_cut,
+    connected_components,
+    filter_unreachable,
+    maximum_spanning_tree,
+    minimum_spanning_tree,
+    multi_source_bfs,
+    rw_path,
+    shortest_path_length,
+    spectral_modularity_maximization_clustering,
+)
+
+
+def _g(spark, rows, directed=False):
+    e = spark.createDataFrame(rows, "src long, dst long, weight double")
+    return Graph(e, directed=directed, weighted=True)
+
+
+def test_converters_roundtrip(spark):
+    rows = [(0, 1, 2.0), (1, 2, 3.0)]
+    G = _g(spark, rows, directed=True)
+    pdf = G.to_pandas_edgelist()
+    assert len(pdf) == 2
+    adj = G.to_pandas_adjacency()
+    assert adj.loc[0, 1] == 2.0 and adj.loc[1, 2] == 3.0 and adj.loc[2, 0] == 0.0
+    arr = G.to_numpy_array()
+    G2 = Graph.from_numpy_array(spark, arr, directed=True)
+    back = sorted((r["src"], r["dst"], r["weight"]) for r in G2.edges.collect())
+    assert back == sorted((s, d, w) for s, d, w in rows)
+
+
+def test_predicates(spark):
+    G = _g(spark, [(0, 1, 1.0)], directed=False)
+    assert G.is_weighted() and not G.is_directed()
+    assert not G.is_multigraph() and not G.is_bipartite()
+    assert not G.is_renumbered()
+
+
+def test_multi_source_bfs_matches_single(spark):
+    from cugraph_spark import bfs
+
+    rows = [(0, 1, 1.0), (1, 2, 1.0), (2, 3, 1.0), (4, 5, 1.0)]
+    G = _g(spark, rows, directed=True)
+    srcs = spark.createDataFrame([(0,), (4,)], "source long")
+    got = {
+        (r["source"], r["vertex"]): (r["distance"], r["predecessor"])
+        for r in multi_source_bfs(G, srcs).collect()
+    }
+    single = {
+        r["vertex"]: (r["distance"], r["predecessor"])
+        for r in bfs(G, 0).collect()
+        if r["distance"] >= 0
+    }
+    for v, dp in single.items():
+        assert got[(0, v)] == dp, v
+    assert got[(4, 5)] == (1, 4)
+    assert (0, 5) not in got  # unreached pairs absent by contract
+
+
+def test_shortest_path_aliases_and_filter(spark):
+    rows = [(0, 1, 2.0), (1, 2, 3.0), (5, 6, 1.0)]
+    G = _g(spark, rows, directed=True)
+    spl = shortest_path_length(G, 0)
+    assert set(spl.columns) == {"vertex", "distance"}
+    reach = {r["vertex"]: r["distance"] for r in filter_unreachable(spl).collect()}
+    assert reach == {0: 0.0, 1: 2.0, 2: 5.0}
+
+
+def test_maximum_spanning_tree(spark):
+    # square with one heavy diagonal: MaxST keeps the heaviest 3 edges
+    rows = [(0, 1, 1.0), (1, 2, 5.0), (2, 3, 4.0), (3, 0, 3.0)]
+    G = _g(spark, rows, directed=False)
+    mx = sorted(
+        (r["src"], r["dst"], r["weight"]) for r in maximum_spanning_tree(G).collect()
+    )
+    assert mx == [(1, 2, 5.0), (2, 3, 4.0), (3, 0, 3.0)] or mx == [
+        (0, 3, 3.0), (1, 2, 5.0), (2, 3, 4.0)]
+    mn = {r["weight"] for r in minimum_spanning_tree(G).collect()}
+    assert 1.0 in mn and 5.0 not in mn
+
+
+def test_connected_components_dispatch(spark):
+    rows = [(0, 1, 1.0), (2, 3, 1.0)]
+    G = _g(spark, rows, directed=False)
+    w = connected_components(G, connection="weak")
+    assert w.select(F.countDistinct("labels")).first()[0] == 2
+    Gd = _g(spark, [(0, 1, 1.0), (1, 0, 1.0), (1, 2, 1.0)], directed=True)
+    s = connected_components(Gd, connection="strong")
+    labs = {r["vertex"]: r["labels"] for r in s.collect()}
+    assert labs[0] == labs[1] and labs[2] != labs[0]
+
+
+def test_rw_path_shapes(spark):
+    from cugraph_spark import random_walks
+
+    rows = [(0, 1, 1.0), (1, 2, 1.0), (2, 0, 1.0)]
+    G = _g(spark, rows, directed=True)
+    starts = spark.createDataFrame([(0,), (1,)], "v long")
+    walks = random_walks(G, starts, max_depth=3, seed=7)
+    paths = rw_path(walks).collect()
+    assert len(paths) == 2
+    for p in paths:
+        assert p["path_length"] == len(p["path"]) == 4  # cycle: never stops
+
+
+def test_clustering_analysis_scorers(spark):
+    # two triangles joined by one bridge edge
+    rows = [(0, 1, 1.0), (1, 2, 1.0), (2, 0, 1.0),
+            (3, 4, 1.0), (4, 5, 1.0), (5, 3, 1.0), (2, 3, 1.0)]
+    G = _g(spark, rows, directed=False)
+    labels = spark.createDataFrame(
+        [(v, 0 if v < 3 else 1) for v in range(6)], "vertex long, cluster long"
+    )
+    assert abs(analyze_clustering_edge_cut(G, labels) - 1.0) < 1e-12
+    # ratio cut: cut(c)=1 each, sizes 3,3 -> 1/3 + 1/3
+    assert abs(analyze_clustering_ratio_cut(G, labels) - 2.0 / 3.0) < 1e-12
+    q = analyze_clustering_modularity(G, labels)
+    # the natural 2-clustering of two bridged triangles is strongly modular
+    assert q > 0.3
+
+
+def test_spectral_modularity_maximization(spark):
+    # two 4-cliques plus a weak bridge: modularity-max spectral must
+    # recover the cliques as the 2 clusters
+    rows = [(a, b, 1.0) for c in (0, 4) for a in range(c, c + 4)
+            for b in range(a + 1, c + 4)] + [(3, 4, 0.1)]
+    G = _g(spark, rows, directed=False)
+    out = {r["vertex"]: r["cluster"]
+           for r in spectral_modularity_maximization_clustering(G, 2, seed=3).collect()}
+    left = {out[v] for v in range(4)}
+    right = {out[v] for v in range(4, 8)}
+    assert len(left) == 1 and len(right) == 1 and left != right
