@@ -124,6 +124,60 @@ class PropertyGraph:
             out = out.select(_S, _D, _T, *columns)
         return out
 
+    def vertex_property_names(self) -> list[str]:
+        """Reference ``vertex_property_names`` (property_graph.py:284):
+        user property columns, excluding the reserved key/type cols."""
+        if self._vdata is None:
+            return []
+        return sorted(c for c in self._vdata.columns if c not in (_V, _T))
+
+    def edge_property_names(self) -> list[str]:
+        if self._edata is None:
+            return []
+        return sorted(c for c in self._edata.columns if c not in (_S, _D, _T, _EID))
+
+    def get_vertices(self) -> DataFrame:
+        """Reference ``get_vertices`` (property_graph.py:499): distinct
+        vertex ids across vertex data and edge endpoints."""
+        parts = []
+        if self._vdata is not None:
+            parts.append(self._vdata.select(F.col(_V).alias("vertex")))
+        if self._edata is not None:
+            parts.append(self._edata.select(F.col(_S).alias("vertex")))
+            parts.append(self._edata.select(F.col(_D).alias("vertex")))
+        if not parts:
+            raise ValueError("empty PropertyGraph")
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.distinct()
+
+    def select_vertices(self, expr: str) -> DataFrame:
+        """Reference ``select_vertices`` (property_graph.py:1428): SQL
+        expression over the vertex table → selected vertex ids (the
+        Spark-native stand-in for PropertySelection; feed the result to
+        callers that take a vertex list)."""
+        if self._vdata is None:
+            raise ValueError("no vertex data")
+        return self._vdata.filter(expr).select(F.col(_V).alias("vertex")).distinct()
+
+    def select_edges(self, expr: str) -> DataFrame:
+        """Reference ``select_edges`` (property_graph.py:1510): SQL
+        expression over the edge table → selected edge rows."""
+        if self._edata is None:
+            raise ValueError("no edge data")
+        return self._edata.filter(expr)
+
+    def fillna_vertices(self, val=0) -> None:
+        """Reference ``fillna_vertices`` (property_graph.py:1382)."""
+        if self._vdata is not None:
+            self._vdata = self._vdata.fillna(val)
+
+    def fillna_edges(self, val=0) -> None:
+        """Reference ``fillna_edges`` (property_graph.py:1405)."""
+        if self._edata is not None:
+            self._edata = self._edata.fillna(val)
+
     # ---- extraction (the algorithm boundary) ----
 
     def extract_subgraph(

@@ -96,3 +96,22 @@ def test_hypergraph_direct(spark):
     assert got[("c1::x", "c2::p")] == 1.0
     assert got[("c1::x", "c2::q")] == 1.0
     assert len(got) == 2
+
+
+def test_property_graph_selection_surface(spark):
+    pg = PropertyGraph()
+    v = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", None), (3, "b", 30)], "vid long, kind string, score long"
+    )
+    pg.add_vertex_data(v, vertex_col_name="vid", type_name="user")
+    e = spark.createDataFrame([(1, 2, 5.0), (2, 3, 7.0)], "s long, d long, amt double")
+    pg.add_edge_data(e, vertex_col_names=("s", "d"), type_name="paid")
+
+    assert pg.vertex_property_names() == ["kind", "score"]
+    assert pg.edge_property_names() == ["amt"]
+    assert pg.get_vertices().count() == 3
+    sel = pg.select_vertices("kind = 'a'")
+    assert sorted(r["vertex"] for r in sel.collect()) == [1, 2]
+    assert pg.select_edges("amt > 6").count() == 1
+    pg.fillna_vertices(0)
+    assert pg.get_vertex_data().filter("score IS NULL").count() == 0
