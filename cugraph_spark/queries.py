@@ -1223,6 +1223,64 @@ def q_edge_betweenness(spark, sf_dir):
     )
 
 
+def q_clustering_scores(spark, sf_dir):
+    """analyzeClustering_{edge_cut, ratio_cut, modularity} scorers on a
+    deterministic clustering (vertex mod 3) of the nation graph —
+    value-exact SQL twin for all three."""
+    from .operators.spectral import (
+        analyze_clustering_edge_cut,
+        analyze_clustering_modularity,
+        analyze_clustering_ratio_cut,
+    )
+
+    e = edges_nation(spark, sf_dir)
+    G = Graph(e, directed=False, weighted=True)
+    labels = G.vertices().select("vertex", (F.col("vertex") % 3).alias("cluster"))
+    ec = analyze_clustering_edge_cut(G, labels)
+    rc = analyze_clustering_ratio_cut(G, labels)
+    q = analyze_clustering_modularity(G, labels)
+    return spark.createDataFrame(
+        [(round(ec, 6) + 0.0, round(rc, 6) + 0.0, round(q, 6) + 0.0)],
+        "edge_cut double, ratio_cut double, modularity double",
+    )
+
+
+Q_CLUSTERING_SCORES_SQL = f"""
+WITH e AS ({EDGES_NATION_SQL}),
+und AS (
+    SELECT src, dst, MIN(weight) AS w FROM (
+        SELECT src, dst, weight FROM e
+        UNION ALL
+        SELECT dst AS src, src AS dst, weight FROM e
+    ) GROUP BY 1, 2
+),
+el AS (SELECT src, dst, w, src % 3 AS ls, dst % 3 AS ld FROM und),
+verts AS (SELECT DISTINCT src AS v FROM und),
+cut AS (SELECT COALESCE(SUM(w), 0) / 2.0 AS c FROM el WHERE ls <> ld),
+sizes AS (SELECT v % 3 AS c, COUNT(*) AS n FROM verts GROUP BY 1),
+pc AS (SELECT ls AS c, SUM(w) AS cutw FROM el WHERE ls <> ld GROUP BY 1),
+rcut AS (
+    SELECT SUM(COALESCE(p.cutw, 0) / s.n) AS r
+    FROM sizes s LEFT JOIN pc p ON s.c = p.c
+),
+m2 AS (SELECT SUM(w) AS t FROM und),
+percl AS (
+    SELECT ls AS c,
+           SUM(CASE WHEN ls = ld THEN w ELSE 0 END) AS inc,
+           SUM(w) AS degc
+    FROM el GROUP BY 1
+),
+qm AS (
+    SELECT SUM(inc / (SELECT t FROM m2))
+           - SUM(POW(degc / (SELECT t FROM m2), 2)) AS q
+    FROM percl
+)
+SELECT ROUND((SELECT c FROM cut), 6) + 0.0 AS edge_cut,
+       ROUND((SELECT r FROM rcut), 6) + 0.0 AS ratio_cut,
+       ROUND((SELECT q FROM qm), 6) + 0.0 AS modularity
+"""
+
+
 def q_neighbor_sample(spark, sf_dir):
     """Invariant-checked neighbor sampling: per (src, hop) the sample
     must contain exactly min(fanout, out_degree) DISTINCT real edges;
@@ -1306,6 +1364,7 @@ def queries():
         "neighbor_sample": q_neighbor_sample,
         "betweenness": q_betweenness,
         "edge_betweenness": q_edge_betweenness,
+        "clustering_scores": q_clustering_scores,
         "scc": q_scc,
         "mis": q_mis,
     }
@@ -1354,6 +1413,7 @@ def oracle_sql():
         "spectral": ob.all_vertices_ok_sql(EDGES_NATION_SQL),
         "betweenness": ob.betweenness_sql(EDGES_NATION_SQL, depth=6),
         "edge_betweenness": ob.edge_betweenness_sql(EDGES_NATION_SQL, depth=6),
+        "clustering_scores": Q_CLUSTERING_SCORES_SQL,
         "hypergraph_bipartite": Q_HYPERGRAPH_SQL,
         "k_core5": ob.k_core_sql(EDGES_SS_SQL, k=5, iters=6),
         "hungarian6": Q_HUNGARIAN_SQL,
