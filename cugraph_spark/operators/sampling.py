@@ -39,10 +39,12 @@ def _walk_ids(start_vertices: DataFrame) -> DataFrame:
 
     ``monotonically_increasing_id`` depends on partition layout (and can
     change if a persisted partition is recomputed), so walk ids come
-    from ``row_number`` over the sorted start-vertex column — identical
-    at any parallelism. Start lists are seed sets (≪ V), so the single-
-    partition sort of the seeds is cheap; callers with huge seed sets
-    can pass a 2-column (walk_id, vertex) DataFrame to skip it."""
+    from a DISTRIBUTED sort of the start vertices + ``zipWithIndex``
+    per-partition offsets — the same dense-rank-without-a-window idiom
+    ``graph.renumber`` uses. Identical output at any parallelism, and
+    no single-partition Window even for all-vertex walk launches.
+    Callers with a precomputed id can pass a 2-column
+    (walk_id, vertex) DataFrame to skip it."""
     cols = start_vertices.columns
     if len(cols) >= 2:
         return start_vertices.select(
@@ -50,10 +52,12 @@ def _walk_ids(start_vertices: DataFrame) -> DataFrame:
             F.col(cols[1]).alias("vertex"),
         )
     v = F.col(cols[0])
-    return start_vertices.select(
-        (F.row_number().over(Window.orderBy(v)) - 1).cast("long").alias("walk_id"),
-        v.alias("vertex"),
-    )
+    sv = start_vertices.select(v.alias("vertex")).sort("vertex")
+    vtype = dict(sv.dtypes)["vertex"]
+    rdd = sv.rdd.map(lambda r: r[0]).zipWithIndex()
+    return sv.sparkSession.createDataFrame(
+        rdd, schema=f"vertex {vtype}, walk_id long"
+    ).select("walk_id", "vertex")
 
 
 def random_walks(
