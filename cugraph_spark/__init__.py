@@ -86,5 +86,10 @@ from .operators.mis import maximal_independent_set, vertex_coloring  # noqa: F40
 from .operators.scc import strongly_connected_components  # noqa: F401
 from .operators.assignment import dense_hungarian, hungarian  # noqa: F401
 from .operators.layout import force_atlas2  # noqa: F401
+from .utilities import (  # noqa: F401
+    df_score_to_dictionary,
+    ensure_graph_obj,
+    harmonize_scores,
+)
 
 __version__ = "0.1.0"

@@ -143,3 +143,54 @@ def test_spectral_modularity_maximization(spark):
     left = {out[v] for v in range(4)}
     right = {out[v] for v in range(4, 8)}
     assert len(left) == 1 and len(right) == 1 and left != right
+
+
+# ---- scalar/utility surface (SURVEY §2.5) ----
+
+
+def test_ensure_graph_obj_coercions(spark):
+    import pandas as pd
+
+    from cugraph_spark import ensure_graph_obj
+
+    rows = [(0, 1, 2.0), (1, 2, 3.0)]
+    G = _g(spark, rows, directed=True)
+    same, t = ensure_graph_obj(G)
+    assert same is G and t is type(G)
+
+    df = spark.createDataFrame(rows, "src long, dst long, weight double")
+    g2, t2 = ensure_graph_obj(df, directed=True)
+    assert g2.edges.count() == 2 and g2.weighted
+
+    pdf = pd.DataFrame(rows, columns=["src", "dst", "weight"])
+    g3, _ = ensure_graph_obj(pdf, directed=True, spark=spark)
+    assert g3.edges.count() == 2
+
+    try:
+        ensure_graph_obj(42)
+        assert False, "expected TypeError"
+    except TypeError:
+        pass
+
+
+def test_df_score_to_dictionary(spark):
+    from cugraph_spark import df_score_to_dictionary
+
+    df = spark.createDataFrame(
+        [(0, 0.5), (1, 0.25), (2, 0.25)], "vertex long, pagerank double"
+    )
+    d = df_score_to_dictionary(df, "pagerank")
+    assert d == {0: 0.5, 1: 0.25, 2: 0.25}
+    try:
+        df_score_to_dictionary(df, "pagerank", max_rows=2)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+
+
+def test_harmonize_scores(spark):
+    from cugraph_spark import harmonize_scores
+
+    df = spark.createDataFrame([(0, 1), (1, 2)], "vertex int, values int")
+    out = harmonize_scores(df)
+    assert out.schema.simpleString() == "struct<vertex:bigint,values:double>"
