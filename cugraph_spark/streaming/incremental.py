@@ -82,6 +82,80 @@ class EdgeLog:
         paths = [self._batch_dir(b) for b in batches]
         return spark.read.parquet(*paths)
 
+    def read_since(self, spark: SparkSession, after_batch: int) -> DataFrame:
+        """Edges from committed batches with id > ``after_batch`` (the
+        delta an incremental operator consumes)."""
+        batches = [b for b in self.committed_batches() if b > after_batch]
+        if not batches:
+            raise ValueError(f"no committed batches after {after_batch}")
+        return spark.read.parquet(*[self._batch_dir(b) for b in batches])
+
+
+def incremental_wcc(
+    spark: SparkSession,
+    log: EdgeLog,
+    prev_labels: DataFrame | None = None,
+    after_batch: int = -1,
+    max_iter: int = 100,
+) -> DataFrame:
+    """Warm-start weakly connected components on edge ADDITIONS.
+
+    Edge additions only ever MERGE components (labels are monotone
+    non-increasing under min-label semantics), so the converged labels
+    of the grown graph are computable from the previous labels plus the
+    delta alone: contract every delta edge (u, v) to its endpoint
+    labels (label(u), label(v)) — unseen vertices stand for themselves
+    — and run WCC on that contracted "merge graph", whose size is
+    O(|delta|), NOT O(E). The final pass is one O(V) relabel join.
+
+    Same asymptotic shape as the reference's batch WCC restarted from
+    scratch would be per epoch, minus the O(E · rounds) full propagation
+    — the delta decides the work, which is what a continuously-ingested
+    100 TB link graph needs. Returns ``[vertex, labels]`` (exactly the
+    batch ``weakly_connected_components`` result on the full log —
+    deletions are out of scope, matching the append-only ``EdgeLog``).
+
+    With ``prev_labels=None`` this is a cold start: batch WCC over the
+    whole log.
+    """
+    from ..operators.wcc import weakly_connected_components
+
+    if prev_labels is None:
+        G = Graph(log.read(spark), directed=False, weighted=False)
+        return weakly_connected_components(G, max_iter=max_iter)
+
+    delta = log.read_since(spark, after_batch).select("src", "dst")
+    lsrc = prev_labels.select(
+        F.col("vertex").alias("src"), F.col("labels").alias("_lsrc")
+    )
+    ldst = prev_labels.select(
+        F.col("vertex").alias("dst"), F.col("labels").alias("_ldst")
+    )
+    merge_edges = (
+        delta.join(lsrc, "src", "left")
+        .join(ldst, "dst", "left")
+        .select(
+            F.coalesce("_lsrc", "src").alias("src"),
+            F.coalesce("_ldst", "dst").alias("dst"),
+        )
+    )
+    merged = weakly_connected_components(
+        Graph(merge_edges, directed=False, weighted=False), max_iter=max_iter
+    ).select(F.col("vertex").alias("_old"), F.col("labels").alias("_new"))
+
+    new_vertices = (
+        delta.select(F.col("src").alias("vertex"))
+        .union(delta.select(F.col("dst").alias("vertex")))
+        .distinct()
+        .join(prev_labels.select("vertex"), "vertex", "left_anti")
+        .select("vertex", F.col("vertex").alias("labels"))
+    )
+    universe = prev_labels.select("vertex", "labels").union(new_vertices)
+    return (
+        universe.join(merged, universe["labels"] == merged["_old"], "left")
+        .select("vertex", F.coalesce("_new", "labels").alias("labels"))
+    )
+
 
 def incremental_pagerank(
     spark: SparkSession,

@@ -71,3 +71,51 @@ def test_streaming_ingest_foreachbatch(spark, tmp_path):
     df = log.read(spark)
     assert df.count() > 0
     assert set(df.columns) == {"src", "dst", "weight"}
+
+
+def test_incremental_wcc_matches_batch(spark, tmp_path):
+    from cugraph_spark.streaming.incremental import incremental_wcc
+    from cugraph_spark import weakly_connected_components
+
+    # two components in batch 0; batch 1 merges them AND introduces
+    # brand-new vertices (one forming its own new component)
+    base = [(0, 1, 1.0), (1, 2, 1.0), (10, 11, 1.0)]
+    delta = [(2, 10, 1.0), (20, 21, 1.0), (11, 22, 1.0)]
+    log = EdgeLog(str(tmp_path / "wlog"))
+    log.append(edges_df(spark, base), 0)
+
+    labels0 = incremental_wcc(spark, log, None)  # cold start
+    assert {r["vertex"]: r["labels"] for r in labels0.collect()} == {
+        0: 0, 1: 0, 2: 0, 10: 10, 11: 10,
+    }
+
+    log.append(edges_df(spark, delta), 1)
+    inc = {
+        r["vertex"]: r["labels"]
+        for r in incremental_wcc(spark, log, labels0, after_batch=0).collect()
+    }
+    full = {
+        r["vertex"]: r["labels"]
+        for r in weakly_connected_components(
+            Graph(log.read(spark), directed=False, weighted=False)
+        ).collect()
+    }
+    assert inc == full
+    assert inc[22] == 0 and inc[20] == 20  # merged vs new component
+
+
+def test_incremental_wcc_delta_only_workload(spark, tmp_path):
+    """The merge graph must be built from the delta alone — verified by
+    feeding a delta that touches none of the old components and checking
+    old labels pass through untouched."""
+    from cugraph_spark.streaming.incremental import incremental_wcc
+
+    log = EdgeLog(str(tmp_path / "wlog2"))
+    log.append(edges_df(spark, [(0, 1, 1.0), (2, 3, 1.0)]), 0)
+    labels0 = incremental_wcc(spark, log, None)
+    log.append(edges_df(spark, [(100, 101, 1.0)]), 1)
+    inc = {
+        r["vertex"]: r["labels"]
+        for r in incremental_wcc(spark, log, labels0, after_batch=0).collect()
+    }
+    assert inc == {0: 0, 1: 0, 2: 2, 3: 2, 100: 100, 101: 100}
