@@ -1310,6 +1310,40 @@ def q_neighbor_sample(spark, sf_dir):
     )
 
 
+def q_incremental_wcc(spark, sf_dir):
+    """Incremental WCC end-to-end: the supplier co-purchase edges are
+    split deterministically into two EdgeLog batches (xxhash64 parity);
+    batch 0 gets a cold WCC, batch 1 arrives as a delta and is absorbed
+    via the O(delta) contracted merge graph — the result must equal
+    batch WCC on the full edge set (the SQL oracle). The log lives in a
+    per-run temp dir that stays alive for the lazy plan's lifetime."""
+    import tempfile
+
+    from .streaming.incremental import EdgeLog, incremental_wcc
+
+    e = edges_ss(spark, sf_dir)
+    parity = F.pmod(F.xxhash64("src", "dst"), F.lit(2))
+    log = EdgeLog(tempfile.mkdtemp(prefix="cugraph_spark_ewlog_"))
+    log.append(e.filter(parity == 0), 0)
+    labels0 = incremental_wcc(spark, log, None)
+    log.append(e.filter(parity == 1), 1)
+    return incremental_wcc(spark, log, labels0, after_batch=0)
+
+
+Q_INCREMENTAL_WCC_SQL = f"""
+WITH RECURSIVE edges AS ({EDGES_SS_SQL}),
+sym AS (SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges)),
+reach(vertex, label) AS (
+    SELECT src AS vertex, src AS label FROM sym
+    UNION
+    SELECT s.dst AS vertex, r.label
+    FROM reach r JOIN sym s ON s.src = r.vertex
+)
+SELECT vertex, CAST(MIN(label) AS BIGINT) AS labels FROM reach GROUP BY vertex
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 def queries():
@@ -1365,6 +1399,7 @@ def queries():
         "betweenness": q_betweenness,
         "edge_betweenness": q_edge_betweenness,
         "clustering_scores": q_clustering_scores,
+        "incremental_wcc": q_incremental_wcc,
         "scc": q_scc,
         "mis": q_mis,
     }
@@ -1414,6 +1449,7 @@ def oracle_sql():
         "betweenness": ob.betweenness_sql(EDGES_NATION_SQL, depth=6),
         "edge_betweenness": ob.edge_betweenness_sql(EDGES_NATION_SQL, depth=6),
         "clustering_scores": Q_CLUSTERING_SCORES_SQL,
+        "incremental_wcc": Q_INCREMENTAL_WCC_SQL,
         "hypergraph_bipartite": Q_HYPERGRAPH_SQL,
         "k_core5": ob.k_core_sql(EDGES_SS_SQL, k=5, iters=6),
         "hungarian6": Q_HUNGARIAN_SQL,
