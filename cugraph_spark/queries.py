@@ -1330,6 +1330,25 @@ def q_incremental_wcc(spark, sf_dir):
     return incremental_wcc(spark, log, labels0, after_batch=0)
 
 
+def q_incremental_pagerank(spark, sf_dir):
+    """Warm-start exactness: PageRank is a deterministic linear
+    iteration, so 3 cold supersteps handed to ``incremental_pagerank``
+    as the previous epoch's ranks plus 2 warm supersteps must equal 5
+    cold supersteps — the oracle is the plain unrolled 5-iteration SQL
+    (same shape as pagerank5's; unrolling deeper is exponential in
+    DuckDB because each superstep CTE is inlined ~3x by the next).
+    Exercises the EdgeLog read + nstart warm-start path end-to-end."""
+    import tempfile
+
+    from .streaming.incremental import EdgeLog, incremental_pagerank
+
+    log = EdgeLog(tempfile.mkdtemp(prefix="cugraph_spark_eplog_"))
+    log.append(edges_cs(spark, sf_dir), 0)
+    r3 = incremental_pagerank(spark, log, None, tol=0.0, max_iter=3)
+    r5 = incremental_pagerank(spark, log, r3, tol=0.0, max_iter=2)
+    return r5.select("vertex", (F.round("pagerank", 8) + F.lit(0.0)).alias("pagerank"))
+
+
 Q_INCREMENTAL_WCC_SQL = f"""
 WITH RECURSIVE edges AS ({EDGES_SS_SQL}),
 sym AS (SELECT DISTINCT src, dst FROM (
@@ -1400,6 +1419,7 @@ def queries():
         "edge_betweenness": q_edge_betweenness,
         "clustering_scores": q_clustering_scores,
         "incremental_wcc": q_incremental_wcc,
+        "incremental_pagerank": q_incremental_pagerank,
         "scc": q_scc,
         "mis": q_mis,
     }
@@ -1450,6 +1470,7 @@ def oracle_sql():
         "edge_betweenness": ob.edge_betweenness_sql(EDGES_NATION_SQL, depth=6),
         "clustering_scores": Q_CLUSTERING_SCORES_SQL,
         "incremental_wcc": Q_INCREMENTAL_WCC_SQL,
+        "incremental_pagerank": _pagerank_sql(EDGES_CS_SQL, 5, ALPHA),
         "hypergraph_bipartite": Q_HYPERGRAPH_SQL,
         "k_core5": ob.k_core_sql(EDGES_SS_SQL, k=5, iters=6),
         "hungarian6": Q_HUNGARIAN_SQL,
