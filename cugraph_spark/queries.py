@@ -765,6 +765,47 @@ def q_minhash_pairs(spark, sf_dir):
     )
 
 
+def q_doc_dup_clusters(spark, sf_dir):
+    """End-to-end near-dup clustering — the shape a 100 TB curation run
+    actually needs: MinHash-LSH verified pairs (portable md5-60 hash)
+    become an undirected edge list, and min-label WCC over that graph
+    assigns every near-duplicate document its cluster's minimum doc_id
+    (the canonical-representative convention; keep one row per cluster
+    downstream). Composes functions/dedup.py with operators/wcc.py in
+    one declarative plan; both stages are the sub-quadratic forms
+    (banded LSH candidates, pointer-jumping WCC)."""
+    docs = _read(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(docs, threshold=0.5, hash_fn="md5_60")
+    edges = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), F.lit(1.0).alias("weight")
+    )
+    G = Graph(edges, directed=False, weighted=False)
+    return weakly_connected_components(G).select(
+        F.col("vertex").alias("doc_id"), F.col("labels").alias("cluster")
+    )
+
+
+def _doc_dup_clusters_sql(threshold: float) -> str:
+    """Recursive-CTE connected components over the minhash pair graph
+    (same closure shape as Q_WCC_SQL), pairs from the portable-hash
+    MinHash pipeline twin."""
+    return f"""
+WITH RECURSIVE pairs AS MATERIALIZED (
+    SELECT a, b FROM ({ob.minhash_sql(threshold=threshold)})
+),
+sym AS (SELECT a AS src, b AS dst FROM pairs
+        UNION ALL SELECT b AS src, a AS dst FROM pairs),
+reach(vertex, label) AS (
+    SELECT src AS vertex, src AS label FROM (SELECT DISTINCT src FROM sym)
+    UNION
+    SELECT s.dst AS vertex, r.label
+    FROM reach r JOIN sym s ON s.src = r.vertex
+)
+SELECT vertex AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster
+FROM reach GROUP BY vertex
+"""
+
+
 def q_simhash_pairs(spark, sf_dir):
     """SimHash + pigeonhole blocking on the portable 60-bit md5 hash —
     value-exact DuckDB twin (production default stays xxhash64/64-bit)."""
@@ -1396,6 +1437,7 @@ def queries():
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_curation": q_doc_curation,
         "minhash_pairs": q_minhash_pairs,
+        "doc_dup_clusters": q_doc_dup_clusters,
         "simhash_pairs": q_simhash_pairs,
         "embedding_norms": q_embedding_norms,
         "cosine_top1": q_cosine_top1,
@@ -1482,6 +1524,7 @@ def oracle_sql():
             EDGES_CS_SQL, n_starts=16, fanout0=4),
         "mis": ob.mis_invariants_sql(EDGES_SS_SQL),
         "minhash_pairs": ob.minhash_sql(threshold=0.5),
+        "doc_dup_clusters": _doc_dup_clusters_sql(threshold=0.5),
         "simhash_pairs": ob.simhash_sql(max_hamming=8, bits=60),
         "embedding_lsh_buckets": ob.lsh_buckets_sql(dim=64, n_planes=8, seed=42),
     }
