@@ -75,15 +75,22 @@ def main():
         steady = sorted(ts[2:]) if len(ts) > 4 else sorted(ts)
         return steady[len(steady) // 2]
 
-    ts_cs: list[float] = []
-
+    # The timed query uses the default chained zero-action loop (tol=0.0
+    # auto-selects it). The edges/s-per-superstep extra keeps round 1's
+    # methodology — median steady-state superstep of the one-action-per-
+    # superstep loop (the shape every convergence-checked `to tol 1e-6`
+    # run has, which is what the north metric measures) — via a separate
+    # instrumented run outside the suite wall.
     def _pagerank_cs():
         G = Graph(e_cs, directed=True, weighted=True)
-        pagerank(G, alpha=0.85, tol=0.0, max_iter=PR_SUPERSTEPS,
-                 superstep_seconds=ts_cs).count()
+        pagerank(G, alpha=0.85, tol=0.0, max_iter=PR_SUPERSTEPS).count()
 
     run("pagerank_cs10", _pagerank_cs)
     if "pagerank_cs10" in timings:
+        ts_cs: list[float] = []
+        G = Graph(e_cs, directed=True, weighted=True)
+        pagerank(G, alpha=0.85, tol=0.0, max_iter=PR_SUPERSTEPS,
+                 superstep_seconds=ts_cs, chained=False).count()
         extras["pagerank_edges_per_sec_per_superstep"] = round(
             n_edges_cs / _median_steady(ts_cs), 1
         )
@@ -93,15 +100,16 @@ def main():
         e_rmat = rmat_edges(spark, scale=16, edgefactor=16, seed=42).persist()
         n_edges_rmat = e_rmat.count()
 
-        ts_rmat: list[float] = []
-
         def _pagerank_rmat():
             G = Graph(e_rmat, directed=True, weighted=True)
-            pagerank(G, alpha=0.85, tol=0.0, max_iter=PR_SUPERSTEPS,
-                     superstep_seconds=ts_rmat).count()
+            pagerank(G, alpha=0.85, tol=0.0, max_iter=PR_SUPERSTEPS).count()
 
         run("pagerank_rmat16", _pagerank_rmat)
         if "pagerank_rmat16" in timings:
+            ts_rmat: list[float] = []
+            G = Graph(e_rmat, directed=True, weighted=True)
+            pagerank(G, alpha=0.85, tol=0.0, max_iter=PR_SUPERSTEPS,
+                     superstep_seconds=ts_rmat, chained=False).count()
             extras["rmat_edges_per_sec_per_superstep"] = round(
                 n_edges_rmat / _median_steady(ts_rmat), 1
             )
@@ -118,17 +126,14 @@ def main():
         e20 = rmat_edges(spark, scale=20, edgefactor=16, seed=42).persist()
         n20 = e20.count()
 
-        ts20: list[float] = []
-
         def _pr20():
             G = Graph(e20, directed=True, weighted=True)
-            pagerank(G, alpha=0.85, tol=0.0, max_iter=PR_SUPERSTEPS,
-                     superstep_seconds=ts20).count()
+            pagerank(G, alpha=0.85, tol=0.0, max_iter=PR_SUPERSTEPS).count()
 
         run("pagerank_rmat20", _pr20)
         if "pagerank_rmat20" in timings:
             extras["rmat20_edges_per_sec_per_superstep"] = round(
-                n20 / _median_steady(ts20), 1
+                n20 / (timings["pagerank_rmat20"] / PR_SUPERSTEPS), 1
             )
 
     def _wcc():

@@ -117,6 +117,48 @@ def test_pagerank_fixed_iterations_matches_oracle(spark):
     _check(got, expect, atol=1e-12)
 
 
+def test_pagerank_chained_bit_identical(spark):
+    """The zero-action chained loop (auto at tol=0) must equal the
+    one-action-per-superstep scalar loop BIT-exactly: both compute the
+    dangling mass with the same partial-aggregation tree, chained just
+    carries it as a broadcast column instead of a driver literal."""
+    for fixture in ("directed_asym", "weighted", "tiny_social"):
+        edges = make_edges(fixture)
+        G = Graph(edges_df(spark, edges), directed=True)
+        chained, _ = pagerank(G, alpha=ALPHA, tol=0.0, max_iter=6,
+                              fail_on_nonconvergence=False, chained=True)
+        scalar, _ = pagerank(G, alpha=ALPHA, tol=0.0, max_iter=6,
+                             fail_on_nonconvergence=False, chained=False)
+        got = {r.vertex: r.pagerank for r in chained.collect()}
+        ref = {r.vertex: r.pagerank for r in scalar.collect()}
+        assert got == ref, fixture  # exact float equality, not approx
+
+    # personalization branch: dang_mass multiplies pnorm instead of 1/V
+    edges = make_edges("directed_asym")
+    G = Graph(edges_df(spark, edges), directed=True)
+    import pandas as pd
+
+    pers = spark.createDataFrame(
+        pd.DataFrame({"vertex": [0, 2], "values": [3.0, 1.0]})
+    )
+    chained, _ = pagerank(G, alpha=ALPHA, tol=0.0, max_iter=6,
+                          personalization=pers,
+                          fail_on_nonconvergence=False, chained=True)
+    scalar, _ = pagerank(G, alpha=ALPHA, tol=0.0, max_iter=6,
+                         personalization=pers,
+                         fail_on_nonconvergence=False, chained=False)
+    got = {r.vertex: r.pagerank for r in chained.collect()}
+    ref = {r.vertex: r.pagerank for r in scalar.collect()}
+    assert got == ref
+
+
+def test_pagerank_chained_rejects_convergence_mode(spark):
+    edges = make_edges("directed_asym")
+    G = Graph(edges_df(spark, edges), directed=True)
+    with pytest.raises(ValueError, match="chained"):
+        pagerank(G, alpha=ALPHA, tol=1e-6, max_iter=5, chained=True)
+
+
 def test_pagerank_sums_to_one(spark):
     edges = make_edges("disjoint")
     got = _run(spark, edges, directed=False)

@@ -35,7 +35,12 @@ e = rmat_edges(spark, scale={scale}, edgefactor={ef}, seed=42).persist()
 n = e.count()
 G = Graph(e, directed=True, weighted=True)
 ts = []
-pagerank(G, tol=0.0, max_iter={iters}, superstep_seconds=ts).count()
+# chained=False pins the one-action-per-superstep loop: this harness's
+# methodology (per-superstep wall lists, warm-up discard, noise
+# analysis on the raw lists in BENCH/BASELINE.md) needs real
+# per-superstep execution times, which the zero-action chained mode
+# does not observe.
+pagerank(G, tol=0.0, max_iter={iters}, superstep_seconds=ts, chained=False).count()
 steady = sorted(ts[2:])
 median = steady[len(steady) // 2]
 print("BENCHJSON " + json.dumps({{
