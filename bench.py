@@ -144,7 +144,8 @@ def main():
 
     def _lpa():
         G = Graph(e_cs, directed=False, weighted=True)
-        label_propagation(G, max_iter=5).count()
+        # fixed 5-superstep budget → single changed-count action
+        label_propagation(G, max_iter=5, check_every=5).count()
 
     run("lpa_cs5", _lpa)
 

@@ -18,7 +18,10 @@ partial-aggregates before the shuffle; AQE splits residual skew).
 
 Scale notes: O(E) edges partitioned on ``src`` once + persisted; each
 superstep shuffles O(E) messages pre-combined map-side to
-O(distinct (dst,label)); one changed-count action per superstep.
+O(distinct (dst,label)); one changed-count action per ``check_every``
+supersteps (the supersteps in between are lazy plan executing inside
+the next check's job — overshooting the fixpoint is a no-op, so any
+``check_every`` returns identical labels).
 """
 
 from __future__ import annotations
@@ -41,9 +44,21 @@ def label_propagation(
     checkpoint: CheckpointManager | None = None,
     checkpoint_every: int = 5,
     resume: bool = False,
+    check_every: int = 1,
 ) -> DataFrame:
     """Returns DataFrame ``[vertex, labels]``. Requires an undirected
-    (symmetrized) graph — incident weight means both directions."""
+    (symmetrized) graph — incident weight means both directions.
+
+    ``check_every=k`` runs the changed-count action (the only driver
+    round trip in the loop) every k supersteps instead of every one;
+    the k-1 supersteps in between are pure lazy plan executing inside
+    the next check's job. Results are IDENTICAL for any k: a stable
+    labeling is a fixpoint of the synchronous argmax update, so
+    supersteps past convergence are no-ops — the only trade is up to
+    k-1 wasted (no-op) supersteps when the graph converges mid-chain.
+    Use k = max_iter for fixed-budget runs (zero intermediate actions;
+    k-superstep chains stay linear in Catalyst because truncate_plan
+    cuts each superstep's lineage lazily)."""
     if G.directed:
         raise ValueError(
             "label_propagation requires an undirected (symmetrized) graph"
@@ -73,6 +88,7 @@ def label_propagation(
 
     V = G.number_of_vertices()
     for it in range(start_iter, max_iter):
+        checking = (it + 1) % check_every == 0 or it == max_iter - 1
         # (dst, label(src), w) → Σw per (dst,label) → argmax by (w, -label)
         sside = vertex_join_side(state, V)
         scores = (
@@ -94,6 +110,13 @@ def label_propagation(
             )
             .transform(truncate_plan)
         )
+
+        if not checking:
+            # stay lazy: this superstep executes inside the next
+            # checking superstep's action (a stable labeling is a
+            # fixpoint, so overshooting convergence cannot change it)
+            state = new_full.select("vertex", "labels")
+            continue
 
         changed = (
             new_full.agg(

@@ -54,6 +54,18 @@ def test_lpa_matches_oracle(spark, kind):
     assert got == {v: int(ref[v]) for v in sorted(got)}
 
 
+def test_lpa_check_every_identical(spark):
+    """Batched convergence checks must not change labels: a stable
+    labeling is a fixpoint of the synchronous update, so overshooting
+    convergence inside a chain is a no-op."""
+    for kind in ("tiny_social", "weighted", "disjoint"):
+        edges = make_edges(kind)
+        G = Graph(edges_df(spark, edges), directed=False)
+        a = _as_map(label_propagation(G, max_iter=20).collect())
+        b = _as_map(label_propagation(G, max_iter=20, check_every=4).collect())
+        assert a == b, kind
+
+
 @pytest.mark.parametrize("kind", ["triangle_mesh", "tiny_social", "hub", "disjoint"])
 def test_triangle_count_matches_oracle(spark, kind):
     edges = make_edges(kind)
