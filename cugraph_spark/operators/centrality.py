@@ -150,13 +150,20 @@ def katz_centrality(
 ) -> DataFrame:
     """Returns [vertex, katz_centrality] (L2-normalized), semantics of
     katz_centrality_impl.cuh: c ← β + α·Aᵀc from c=0, stop on
-    L1 diff < tol·V."""
+    L1 diff < tol·V.
+
+    The Katz update has no global scalar (α, β are constants), so with
+    ``tol=0.0`` (fixed-iteration / oracle-parity mode) the loop runs
+    ZERO Spark actions — the L1-diff agg exists only for the stopping
+    test, which tol=0 can never trigger; every superstep is lazy plan
+    executing inside the final normalization action."""
     spark = G.edges.sparkSession
     P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     edges = _prep_edges(G, P)
     verts = G.vertices().repartition(P, "vertex").persist(StorageLevel.MEMORY_AND_DISK)
     V = verts.count()
     state = verts.withColumn("c", F.lit(0.0)).transform(truncate_plan)
+    fixed_iters = tol == 0.0
 
     for _ in range(max_iter):
         sside = vertex_join_side(state, V)
@@ -165,9 +172,15 @@ def katz_centrality(
             .groupBy(DST)
             .agg(F.sum(F.col("c") * F.col(WGT)).alias("s"))
         )
+        new_c = (F.lit(beta) + F.lit(alpha) * F.coalesce("s", F.lit(0.0))).alias("c")
+        if fixed_iters:
+            state = state.join(agg, state["vertex"] == agg[DST], "left").select(
+                state["vertex"], new_c
+            ).transform(truncate_plan)
+            continue
         new_full = state.join(agg, state["vertex"] == agg[DST], "left").select(
             state["vertex"],
-            (F.lit(beta) + F.lit(alpha) * F.coalesce("s", F.lit(0.0))).alias("c"),
+            new_c,
             state["c"].alias("old"),
         ).transform(truncate_plan)
         diff = (
