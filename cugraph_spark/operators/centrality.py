@@ -79,6 +79,49 @@ def hits(
             (F.coalesce("a", F.lit(0.0)) / F.lit(asum)).alias("authorities"),
         )
 
+    if tol == 0.0:
+        # fixed-iteration mode: ZERO actions in the loop. The L1 scale
+        # becomes a broadcast 1-row aggregate divided in lazily (same
+        # `sum → divide` tree as the scalar path → bit-identical), and
+        # the delayed-diff machinery disappears (tol=0 never stops
+        # early). The scalar path's `S or 1.0` guard maps to a CASE on
+        # the aggregate (NULL/0.0 → 1.0).
+        state = verts.withColumn("h_un", F.lit(1.0)).transform(truncate_plan)
+        for _ in range(max_iter):
+            s_agg = state.agg(F.sum("h_un").alias("s_raw")).select(
+                F.when(
+                    F.col("s_raw").isNull() | (F.col("s_raw") == 0.0), F.lit(1.0)
+                ).otherwise(F.col("s_raw")).alias("S")
+            )
+            sside = vertex_join_side(state, V)
+            a_un = (
+                edges.join(sside, edges[SRC] == sside["vertex"])
+                .groupBy(DST)
+                .agg(F.sum("h_un").alias("a_raw"))
+                .crossJoin(F.broadcast(s_agg))
+                .select(F.col(DST), (F.col("a_raw") / F.col("S")).alias("a_un"))
+            )
+            h_un_new = (
+                edges.join(a_un, edges[DST] == a_un[DST])
+                .groupBy(SRC)
+                .agg(F.sum("a_un").alias("h_new"))
+            )
+            state = state.join(
+                h_un_new, state["vertex"] == h_un_new[SRC], "left"
+            ).select(
+                state["vertex"], F.coalesce("h_new", F.lit(0.0)).alias("h_un")
+            ).transform(truncate_plan)
+
+        S_final = state.agg(F.sum("h_un")).first()[0]
+        S_final = float(S_final) if S_final else 1.0
+        auth = _authorities(state, S_final)
+        out = state.join(auth, "vertex").select(
+            "vertex", (F.col("h_un") / F.lit(S_final)).alias("hubs"), "authorities"
+        )
+        edges.unpersist()
+        verts.unpersist()
+        return out
+
     # state: (vertex, h_un, p_un) — current and previous UNNORMALIZED hub
     # vectors; S/S_prev are their L1 sums (so hubs = h_un/S exactly).
     state = (
@@ -209,6 +252,46 @@ def eigenvector_centrality(
     edges = _prep_edges(G, P)
     verts = G.vertices().repartition(P, "vertex").persist(StorageLevel.MEMORY_AND_DISK)
     V = verts.count()
+    if tol == 0.0:
+        # fixed-iteration mode: zero actions in the loop (see hits()).
+        # The scalar path's N==0 early-return (vanished vector → zeros)
+        # maps to NULLIF-division: once the vector is all zero every
+        # later superstep stays zero, same output. x / NULLIF(N, 0) is
+        # bit-identical to x / N whenever N > 0.
+        state = verts.withColumn(
+            "c_un", F.lit(1.0 / math.sqrt(V))
+        ).transform(truncate_plan)
+        for _ in range(max_iter):
+            n_agg = F.broadcast(
+                state.agg(
+                    F.nullif(
+                        F.sqrt(F.sum(F.col("c_un") * F.col("c_un"))), F.lit(0.0)
+                    ).alias("N")
+                )
+            )
+            sside = vertex_join_side(state, V)
+            agg = (
+                edges.join(sside, edges[SRC] == sside["vertex"])
+                .groupBy(DST)
+                .agg(F.sum(F.col("c_un") * F.col(WGT)).alias("s_raw"))
+                .crossJoin(n_agg)
+                .select(F.col(DST), (F.col("s_raw") / F.col("N")).alias("s"))
+            )
+            state = state.join(agg, state["vertex"] == agg[DST], "left").select(
+                state["vertex"], F.coalesce("s", F.lit(0.0)).alias("c_un")
+            ).transform(truncate_plan)
+
+        N_final = state.agg(
+            F.sqrt(F.sum(F.col("c_un") * F.col("c_un")))
+        ).first()[0]
+        N_final = float(N_final) if N_final else 1.0
+        out = state.select(
+            "vertex", (F.col("c_un") / F.lit(N_final)).alias("eigenvector_centrality")
+        )
+        edges.unpersist()
+        verts.unpersist()
+        return out
+
     # same one-action-per-superstep shape as hits(): state carries the
     # UNNORMALIZED vector (+ previous); the L2 scale is a driver float
     # divided in lazily, and the diff is checked one superstep delayed.
