@@ -662,6 +662,33 @@ def lsh_buckets_sql(dim: int = 64, n_planes: int = 8, seed: int = 42) -> str:
     return f"SELECT vec_id, CAST({expr} AS BIGINT) AS lsh_bucket FROM embeddings"
 
 
+def embedding_near_dup_sql(
+    dim: int = 64, n_planes: int = 6, seed: int = 42, threshold: float = 0.4
+) -> str:
+    """Twin of functions/ann.py:embedding_near_duplicates — the same
+    literal hyperplanes (via lsh_buckets_sql), the same bucket
+    equi-join candidate generation (a < b), and the exact cosine
+    verify + threshold. Cosine rounds to 4 digits on both sides."""
+    bucket = lsh_buckets_sql(dim=dim, n_planes=n_planes, seed=seed)
+    return f"""
+WITH bk AS MATERIALIZED ({bucket}),
+v AS MATERIALIZED (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+    FROM embeddings
+),
+p AS (
+    SELECT x.vec_id AS a, y.vec_id AS b,
+           list_sum(list_zip(va.e, vb.e).apply(pp -> pp[1] * pp[2]))
+           / (sqrt(list_sum(va.e.apply(z -> z * z)))
+              * sqrt(list_sum(vb.e.apply(z -> z * z)))) AS cos
+    FROM bk x JOIN bk y ON x.lsh_bucket = y.lsh_bucket AND x.vec_id < y.vec_id
+    JOIN v va ON va.vec_id = x.vec_id
+    JOIN v vb ON vb.vec_id = y.vec_id
+)
+SELECT a, b, ROUND(cos, 4) + 0.0 AS cosine FROM p WHERE cos >= {threshold}
+"""
+
+
 # ------------------------------------------------------- simple extras
 
 def degree_centrality_sql(edges_sql: str) -> str:

@@ -863,6 +863,24 @@ def q_embedding_lsh_buckets(spark, sf_dir):
     return lsh_bucket(emb, n_planes=8).select("vec_id", "lsh_bucket")
 
 
+def q_embedding_near_dup(spark, sf_dir):
+    """LSH-blocked embedding near-dup pairs end-to-end
+    (functions/ann.py:embedding_near_duplicates): candidates must
+    collide in the 6-plane sign-LSH bucket (never all-pairs), exact
+    cosine verifies. The SQL twin recomputes the SAME literal
+    hyperplanes, the bucket equi-join, and the cosine, so the
+    candidate set AND scores match value-exactly. Threshold 0.4
+    exercises a nontrivial pair set on the synthetic embeddings
+    (which plant no true dups; max pairwise cosine ≈ 0.55)."""
+    from .functions.ann import embedding_near_duplicates
+
+    emb = _read(spark, sf_dir, "embeddings")
+    pairs = embedding_near_duplicates(emb, threshold=0.4, n_planes=6)
+    return pairs.select(
+        "a", "b", (F.round("cosine", 4) + F.lit(0.0)).alias("cosine")
+    )
+
+
 # --------------------------------------- community / sampling / tree
 
 def q_louvain(spark, sf_dir):
@@ -1442,6 +1460,7 @@ def queries():
         "embedding_norms": q_embedding_norms,
         "cosine_top1": q_cosine_top1,
         "embedding_lsh_buckets": q_embedding_lsh_buckets,
+        "embedding_near_dup": q_embedding_near_dup,
         "louvain": q_louvain,
         "leiden": q_leiden,
         "ecg": q_ecg,
@@ -1527,4 +1546,6 @@ def oracle_sql():
         "doc_dup_clusters": _doc_dup_clusters_sql(threshold=0.5),
         "simhash_pairs": ob.simhash_sql(max_hamming=8, bits=60),
         "embedding_lsh_buckets": ob.lsh_buckets_sql(dim=64, n_planes=8, seed=42),
+        "embedding_near_dup": ob.embedding_near_dup_sql(
+            dim=64, n_planes=6, seed=42, threshold=0.4),
     }
