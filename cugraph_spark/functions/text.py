@@ -123,14 +123,22 @@ def quality_score(
 
 
 def fingerprint(
-    df: DataFrame, text_col: str = "text", out_col: str = "fingerprint"
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "fingerprint",
+    hash_fn: str = "xxhash64",
 ) -> Column | DataFrame:
-    """Content fingerprint: xxhash64 of the whitespace-normalized,
-    lowercased text — equal fingerprints ⇔ near-identical content up to
-    whitespace/case (the exact-dedup key; for shingled near-dup see
-    ``dedup.minhash_signatures``)."""
+    """Content fingerprint: keyed 64-bit hash of the whitespace-
+    normalized, lowercased text — equal fingerprints ⇔ near-identical
+    content up to whitespace/case (the exact-dedup key; for shingled
+    near-dup see ``dedup.minhash_signatures``). ``hash_fn="md5_60"``
+    switches to the ANSI-SQL-portable 60-bit hash (dedup._hash64) so
+    the DuckDB oracle gate can verify values exactly; production
+    default stays xxhash64."""
+    from .dedup import _hash64
+
     norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
-    return df.withColumn(out_col, F.xxhash64(norm))
+    return df.withColumn(out_col, _hash64(norm, None, hash_fn))
 
 
 def shingles(

@@ -881,6 +881,55 @@ def q_embedding_near_dup(spark, sf_dir):
     )
 
 
+def q_doc_fingerprint(spark, sf_dir):
+    """Content fingerprints on the portable md5-60 hash
+    (functions/text.py:fingerprint, hash_fn="md5_60") so DuckDB
+    recomputes the normalize→hash pipeline value-exactly; production
+    default stays xxhash64 (same normalization, faster hash)."""
+    from .functions.text import fingerprint
+
+    docs = _read(spark, sf_dir, "documents")
+    return fingerprint(docs, hash_fn="md5_60").select("doc_id", "fingerprint")
+
+
+Q_DOC_FINGERPRINT_SQL = r"""
+SELECT doc_id,
+       ('0x' || substr(md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))),
+                       1, 15))::BIGINT AS fingerprint
+FROM documents
+"""
+
+
+def q_media_meta(spark, sf_dir):
+    """Multimodal media-struct plumbing under the oracle gate: wrap the
+    document text bytes as an opaque binary payload via
+    functions/multimodal.py:attach_media and read back the typed
+    metadata — mime, payload sha256, byte size. This drives the north
+    rule's per-row materialization invariant (content sha256 equality
+    on every materialized row) end-to-end through the media struct."""
+    from .functions.multimodal import attach_media
+
+    docs = _read(spark, sf_dir, "documents")
+    m = attach_media(
+        docs.withColumn("data", F.encode("text", "UTF-8")), "data", "text/plain"
+    )
+    return m.select(
+        "doc_id",
+        F.col("media.mime").alias("mime"),
+        F.col("media.sha256").alias("sha256"),
+        F.length(F.col("media.data")).alias("n_bytes"),
+    )
+
+
+Q_MEDIA_META_SQL = """
+SELECT doc_id,
+       'text/plain' AS mime,
+       sha256(text) AS sha256,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes
+FROM documents
+"""
+
+
 # --------------------------------------- community / sampling / tree
 
 def q_louvain(spark, sf_dir):
@@ -1461,6 +1510,8 @@ def queries():
         "cosine_top1": q_cosine_top1,
         "embedding_lsh_buckets": q_embedding_lsh_buckets,
         "embedding_near_dup": q_embedding_near_dup,
+        "doc_fingerprint": q_doc_fingerprint,
+        "media_meta": q_media_meta,
         "louvain": q_louvain,
         "leiden": q_leiden,
         "ecg": q_ecg,
@@ -1548,4 +1599,6 @@ def oracle_sql():
         "embedding_lsh_buckets": ob.lsh_buckets_sql(dim=64, n_planes=8, seed=42),
         "embedding_near_dup": ob.embedding_near_dup_sql(
             dim=64, n_planes=6, seed=42, threshold=0.4),
+        "doc_fingerprint": Q_DOC_FINGERPRINT_SQL,
+        "media_meta": Q_MEDIA_META_SQL,
     }

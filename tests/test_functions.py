@@ -79,6 +79,18 @@ def test_fingerprint_whitespace_case_invariant(spark):
     got = {r["doc_id"]: r["fingerprint"] for r in fingerprint(df).collect()}
     assert got[1] == got[2] != got[3]
 
+    # portable md5-60 hash: same invariant, and bit-for-bit reproducible
+    # outside the JVM (hashlib twin of the DuckDB oracle expression)
+    import hashlib
+
+    got60 = {
+        r["doc_id"]: r["fingerprint"]
+        for r in fingerprint(df, hash_fn="md5_60").collect()
+    }
+    assert got60[1] == got60[2] != got60[3]
+    expect = int(hashlib.md5(b"hello world").hexdigest()[:15], 16)
+    assert got60[1] == expect
+
 
 def test_shingles(spark):
     df = spark.createDataFrame([(1, "a b c d"), (2, "a b")], "doc_id long, text string")
