@@ -187,9 +187,10 @@ def ivf_assign(
     vec_col: str = "embedding",
     n_centroids: int = 16,
     stride_seed: int = 1,
+    hash_fn: str = "xxhash64",
 ) -> tuple[DataFrame, DataFrame]:
     """IVF coarse quantization: centroids = the ``n_centroids`` corpus
-    vectors with the smallest seeded hash ``xxhash64(id, seed)`` — a
+    vectors with the smallest seeded hash ``hash64(id, seed)`` — a
     deterministic uniform sample picked with ``orderBy(hash).limit(n)``,
     which Spark plans as TakeOrderedAndProject (per-partition top-n +
     driver merge, NO single-partition global sort — the round-1
@@ -197,10 +198,14 @@ def ivf_assign(
     task). Cell ids come from a window over the n_centroids-row
     centroid set only. Every vector is assigned to its max-cosine
     centroid via a broadcast join. Returns (assigned_df with
-    'ivf_cell', centroids_df)."""
+    'ivf_cell', centroids_df). ``hash_fn="md5_60"`` switches the
+    centroid pick to the ANSI-SQL-portable hash (dedup._hash64) so the
+    DuckDB oracle gate can replay the full pipeline value-exactly."""
+    from .dedup import _hash64
+
     vecs = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
     picked = (
-        vecs.orderBy(F.xxhash64(F.col(id_col), F.lit(stride_seed)), F.col(id_col))
+        vecs.orderBy(_hash64(F.col(id_col), stride_seed, hash_fn), F.col(id_col))
         .limit(n_centroids)
     )
     cents = picked.select(
@@ -229,10 +234,12 @@ def cosine_topk_ivf(
     vec_col: str = "embedding",
     n_centroids: int = 16,
     nprobe: int = 4,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """IVF search: score queries against centroids, probe the nprobe
     best cells, exact cosine within the probed cells only."""
-    assigned, cents = ivf_assign(corpus, id_col, vec_col, n_centroids)
+    assigned, cents = ivf_assign(corpus, id_col, vec_col, n_centroids,
+                                 hash_fn=hash_fn)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
     )

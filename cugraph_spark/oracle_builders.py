@@ -689,6 +689,72 @@ SELECT a, b, ROUND(cos, 4) + 0.0 AS cosine FROM p WHERE cos >= {threshold}
 """
 
 
+def ivf_top1_sql(
+    n_centroids: int = 16, nprobe: int = 4, stride_seed: int = 1
+) -> str:
+    """Twin of functions/ann.py:cosine_topk_ivf at k=1 on the portable
+    md5-60 hash: the same centroid pick (smallest seeded hash, then id),
+    the same id-ordered cell numbering, the same max-cosine/-cell-tie
+    assignment, the same nprobe best-cell probing, and the exact cosine
+    within probed cells only. Self-search: queries = corpus."""
+    h = f"('0x' || substr(md5(concat_ws(':', {stride_seed}, vec_id)), 1, 15))::BIGINT"
+    return f"""
+WITH v AS MATERIALIZED (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+    FROM embeddings
+),
+picked AS (
+    SELECT vec_id, e
+    FROM v
+    ORDER BY {h}, vec_id
+    LIMIT {n_centroids}
+),
+cents AS MATERIALIZED (
+    SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS ivf_cell, e AS cent
+    FROM picked
+),
+cos_vc AS MATERIALIZED (
+    SELECT v.vec_id, c.ivf_cell,
+           list_sum(list_zip(v.e, c.cent).apply(pp -> pp[1] * pp[2]))
+           / (sqrt(list_sum(v.e.apply(z -> z * z)))
+              * sqrt(list_sum(c.cent.apply(z -> z * z)))) AS cs
+    FROM v CROSS JOIN cents c
+),
+assigned AS (
+    SELECT vec_id, ivf_cell
+    FROM (SELECT vec_id, ivf_cell,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                                    ORDER BY cs DESC, ivf_cell ASC) AS rn
+          FROM cos_vc)
+    WHERE rn = 1
+),
+probes AS (
+    SELECT vec_id AS query_id, ivf_cell
+    FROM (SELECT vec_id, ivf_cell,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                                    ORDER BY cs DESC, ivf_cell ASC) AS pr
+          FROM cos_vc)
+    WHERE pr <= {nprobe}
+),
+scored AS (
+    SELECT p.query_id, a.vec_id,
+           list_sum(list_zip(q.e, c.e).apply(pp -> pp[1] * pp[2]))
+           / (sqrt(list_sum(q.e.apply(z -> z * z)))
+              * sqrt(list_sum(c.e.apply(z -> z * z)))) AS cos
+    FROM probes p
+    JOIN assigned a ON a.ivf_cell = p.ivf_cell AND a.vec_id <> p.query_id
+    JOIN v q ON q.vec_id = p.query_id
+    JOIN v c ON c.vec_id = a.vec_id
+)
+SELECT query_id, vec_id AS nn_id, ROUND(cos, 4) + 0.0 AS cosine
+FROM (SELECT query_id, vec_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, vec_id ASC) AS rk
+      FROM scored)
+WHERE rk = 1
+"""
+
+
 # ------------------------------------------------------- simple extras
 
 def degree_centrality_sql(edges_sql: str) -> str:

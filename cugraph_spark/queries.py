@@ -881,6 +881,25 @@ def q_embedding_near_dup(spark, sf_dir):
     )
 
 
+def q_ivf_top1(spark, sf_dir):
+    """IVF nearest-neighbor search end-to-end under the oracle gate
+    (functions/ann.py:cosine_topk_ivf at k=1, self-search): portable
+    md5-60 centroid pick, max-cosine cell assignment, nprobe=4 probing,
+    exact cosine within probed cells. The SQL twin replays every stage
+    value-exactly (production default stays the xxhash64 pick)."""
+    from .functions.ann import cosine_topk_ivf
+
+    emb = _read(spark, sf_dir, "embeddings")
+    top = cosine_topk_ivf(
+        emb, emb, k=1, n_centroids=16, nprobe=4, hash_fn="md5_60"
+    )
+    return top.select(
+        "query_id",
+        F.col("vec_id").alias("nn_id"),
+        (F.round("cosine", 4) + F.lit(0.0)).alias("cosine"),
+    )
+
+
 def q_doc_fingerprint(spark, sf_dir):
     """Content fingerprints on the portable md5-60 hash
     (functions/text.py:fingerprint, hash_fn="md5_60") so DuckDB
@@ -1512,6 +1531,7 @@ def queries():
         "embedding_near_dup": q_embedding_near_dup,
         "doc_fingerprint": q_doc_fingerprint,
         "media_meta": q_media_meta,
+        "ivf_top1": q_ivf_top1,
         "louvain": q_louvain,
         "leiden": q_leiden,
         "ecg": q_ecg,
@@ -1601,4 +1621,5 @@ def oracle_sql():
             dim=64, n_planes=6, seed=42, threshold=0.4),
         "doc_fingerprint": Q_DOC_FINGERPRINT_SQL,
         "media_meta": Q_MEDIA_META_SQL,
+        "ivf_top1": ob.ivf_top1_sql(n_centroids=16, nprobe=4, stride_seed=1),
     }
