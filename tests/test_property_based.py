@@ -24,8 +24,27 @@ from cugraph_spark import (
     triangle_count,
     weakly_connected_components,
 )
+from cugraph_spark.operators.centrality import hits, katz_centrality
+from cugraph_spark.operators.cores import core_number
+from cugraph_spark.operators.label_propagation import label_propagation
+from cugraph_spark.operators.scc import strongly_connected_components
+from cugraph_spark.operators.similarity import jaccard
+from cugraph_spark.operators.tree import minimum_spanning_tree
 from .conftest import edges_df, sym_tuples
-from .oracles import bfs_ref, pagerank_ref, sssp_ref, triangle_ref, wcc_ref
+from .oracles import (
+    bfs_ref,
+    core_number_ref,
+    hits_ref,
+    jaccard_ref,
+    katz_ref,
+    lpa_ref,
+    mst_ref,
+    pagerank_ref,
+    scc_ref,
+    sssp_ref,
+    triangle_ref,
+    wcc_ref,
+)
 
 # Edge tuples over <=12 vertex ids (possibly sparse), weights in
 # [0.5, 4]; lists may contain duplicates (multi-edges) and self-loops —
@@ -87,6 +106,99 @@ def test_triangle_count_random_graphs(spark, edges):
     got = {r["vertex"]: r["counts"] for r in triangle_count(G).collect()}
     ref = triangle_ref(sym_tuples(no_loops))
     assert got == {v: int(ref[v]) for v in sorted(got)}
+
+
+def _compact(edges):
+    """Map sparse ids to dense 0..n-1 (for oracles whose normalization
+    sums run over the whole 0..max_id array, where absent ids would
+    otherwise count as extra zero/β-valued vertices)."""
+    dedup = _min_dedup(edges)
+    vs = sorted({v for a, b, _ in dedup for v in (a, b)})
+    idx = {v: i for i, v in enumerate(vs)}
+    return [(idx[a], idx[b], w) for a, b, w in dedup], vs, idx
+
+
+@settings(**_SETTINGS)
+@given(edges=_edge_lists)
+def test_katz_random_graphs(spark, edges):
+    # α below 1/λmax for any generated graph (≤40 edges × w ≤ 4 bounds
+    # the max weighted in-degree, hence the spectral radius, by 160)
+    dense, vs, idx = _compact(edges)
+    G = Graph(edges_df(spark, edges), directed=True)
+    got = {r["vertex"]: r["katz_centrality"]
+           for r in katz_centrality(G, alpha=0.002, max_iter=40).collect()}
+    ref = katz_ref(dense, n=len(vs), alpha=0.002, max_iter=40)
+    assert sorted(got) == vs
+    assert np.allclose([got[v] for v in vs], [ref[idx[v]] for v in vs], atol=1e-6)
+
+
+@settings(**_SETTINGS)
+@given(edges=_edge_lists)
+def test_hits_random_graphs(spark, edges):
+    G = Graph(edges_df(spark, edges), directed=True)
+    got = {r["vertex"]: (r["hubs"], r["authorities"])
+           for r in hits(G, max_iter=30, tol=1e-7).collect()}
+    h_ref, a_ref = hits_ref(_min_dedup(edges), max_iter=30, tol=1e-7)
+    for v, (h, a) in got.items():
+        assert abs(h - h_ref[v]) < 1e-4
+        assert abs(a - a_ref[v]) < 1e-4
+
+
+@settings(**_SETTINGS)
+@given(edges=_edge_lists)
+def test_core_number_random_graphs(spark, edges):
+    no_loops = [(a, b, w) for a, b, w in edges if a != b] or [(0, 1, 1.0)]
+    G = Graph(edges_df(spark, no_loops), directed=False)
+    got = {r["vertex"]: r["core_number"] for r in core_number(G).collect()}
+    ref = core_number_ref(no_loops)
+    assert got == {v: int(ref[v]) for v in sorted(got)}
+
+
+@settings(**_SETTINGS)
+@given(edges=_edge_lists)
+def test_scc_random_graphs(spark, edges):
+    G = Graph(edges_df(spark, edges), directed=True)
+    got = {r["vertex"]: r["labels"]
+           for r in strongly_connected_components(G).collect()}
+    ref = scc_ref(_min_dedup(edges))
+    assert got == {v: ref[v] for v in got}
+
+
+@settings(**_SETTINGS)
+@given(edges=_edge_lists)
+def test_lpa_random_graphs(spark, edges):
+    G = Graph(edges_df(spark, edges), directed=False)
+    got = {r["vertex"]: r["labels"]
+           for r in label_propagation(G, max_iter=20).collect()}
+    ref, _ = lpa_ref(sym_tuples(edges), max_iter=20)
+    assert got == {v: int(ref[v]) for v in sorted(got)}
+
+
+@settings(**_SETTINGS)
+@given(edges=_edge_lists)
+def test_jaccard_random_graphs(spark, edges):
+    no_loops = [(a, b, w) for a, b, w in edges if a != b] or [(0, 1, 1.0)]
+    G = Graph(edges_df(spark, no_loops), directed=False)
+    jac = {(r["first"], r["second"]): r["jaccard_coeff"]
+           for r in jaccard(G).collect()}
+    ref = jaccard_ref(sym_tuples(no_loops))
+    assert set(jac) == set(ref)
+    for (a, b), (isect, da, db) in ref.items():
+        assert abs(jac[(a, b)] - isect / (da + db - isect)) < 1e-12
+
+
+@settings(**_SETTINGS)
+@given(edges=_edge_lists)
+def test_mst_random_graphs(spark, edges):
+    no_loops = [(a, b, w) for a, b, w in edges if a != b] or [(0, 1, 1.0)]
+    G = Graph(edges_df(spark, no_loops), directed=False)
+    got = [(min(r["src"], r["dst"]), max(r["src"], r["dst"]), r["weight"])
+           for r in minimum_spanning_tree(G).collect()]
+    ref = mst_ref(no_loops)
+    # forest weight is unique (ties may swap same-weight edges);
+    # edge COUNT is graph-determined: n_vertices - n_components
+    assert len(got) == len(ref)
+    assert abs(sum(w for _, _, w in got) - sum(w for _, _, w in ref)) < 1e-9
 
 
 @settings(**_SETTINGS)
