@@ -949,6 +949,90 @@ FROM documents
 """
 
 
+# --------------------------------------- structural operators
+
+def q_transpose(spark, sf_dir):
+    """Graph.reverse (transpose_graph_impl.cuh analog) — a pure
+    projection, no shuffle."""
+    G = Graph(edges_nation(spark, sf_dir), directed=True, weighted=True)
+    return G.reverse().edges.select("src", "dst", "weight")
+
+
+Q_TRANSPOSE_SQL = f"""
+SELECT dst AS src, src AS dst, weight FROM ({EDGES_NATION_SQL})
+"""
+
+
+def q_induced_subgraph(spark, sf_dir):
+    """induced_subgraph (induced_subgraph_impl.cuh): edges with both
+    endpoints in the vertex set — two semi-joins."""
+    G = Graph(edges_nation(spark, sf_dir), directed=True, weighted=True)
+    vs = spark.createDataFrame([(v,) for v in range(12)], "vertex long")
+    return G.induced_subgraph(vs).edges.select("src", "dst", "weight")
+
+
+Q_INDUCED_SQL = f"""
+SELECT src, dst, weight FROM ({EDGES_NATION_SQL})
+WHERE src <= 11 AND dst <= 11
+"""
+
+
+def q_coarsen(spark, sf_dir):
+    """coarsen_graph (coarsen_graph_impl.cuh): contract vertices by
+    label (here vertex mod 5), sum parallel edge weights — the Louvain
+    level-contraction kernel in isolation."""
+    from .operators.community import coarsen_graph
+
+    G = Graph(edges_nation(spark, sf_dir), directed=True, weighted=True)
+    labels = G.vertices().select(
+        "vertex", (F.col("vertex") % 5).alias("labels")
+    )
+    return coarsen_graph(G, labels).select("src", "dst", "weight")
+
+
+Q_COARSEN_SQL = f"""
+SELECT src % 5 AS src, dst % 5 AS dst, SUM(weight) AS weight
+FROM ({EDGES_NATION_SQL})
+GROUP BY 1, 2
+"""
+
+
+def q_drop_multi_self(spark, sf_dir):
+    """remove_self_loops + drop_multi_edges(keep=min) on the raw
+    per-lineitem nation multigraph (remove_multi_edges.cu semantics,
+    simpleGraph.py:307)."""
+    from .graph import drop_multi_edges, remove_self_loops
+
+    l = _read(spark, sf_dir, "lineitem")
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    s = _read(spark, sf_dir, "supplier")
+    raw = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, l["l_suppkey"] == s["s_suppkey"])
+        .select(
+            F.col("c_nationkey").cast("long").alias("src"),
+            F.col("s_nationkey").cast("long").alias("dst"),
+            F.col("l_quantity").cast("double").alias("weight"),
+        )
+    )
+    return drop_multi_edges(remove_self_loops(raw), keep="min")
+
+
+Q_DROP_MULTI_SELF_SQL = """
+SELECT CAST(c_nationkey AS BIGINT) AS src,
+       CAST(s_nationkey AS BIGINT) AS dst,
+       MIN(CAST(l_quantity AS DOUBLE)) AS weight
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+JOIN supplier ON l_suppkey  = s_suppkey
+WHERE c_nationkey <> s_nationkey
+GROUP BY 1, 2
+"""
+
+
 # --------------------------------------- community / sampling / tree
 
 def q_louvain(spark, sf_dir):
@@ -1532,6 +1616,10 @@ def queries():
         "doc_fingerprint": q_doc_fingerprint,
         "media_meta": q_media_meta,
         "ivf_top1": q_ivf_top1,
+        "transpose": q_transpose,
+        "induced_subgraph": q_induced_subgraph,
+        "coarsen": q_coarsen,
+        "drop_multi_self": q_drop_multi_self,
         "louvain": q_louvain,
         "leiden": q_leiden,
         "ecg": q_ecg,
@@ -1622,4 +1710,8 @@ def oracle_sql():
         "doc_fingerprint": Q_DOC_FINGERPRINT_SQL,
         "media_meta": Q_MEDIA_META_SQL,
         "ivf_top1": ob.ivf_top1_sql(n_centroids=16, nprobe=4, stride_seed=1),
+        "transpose": Q_TRANSPOSE_SQL,
+        "induced_subgraph": Q_INDUCED_SQL,
+        "coarsen": Q_COARSEN_SQL,
+        "drop_multi_self": Q_DROP_MULTI_SELF_SQL,
     }
