@@ -1033,6 +1033,51 @@ GROUP BY 1, 2
 """
 
 
+def q_msbfs(spark, sf_dir):
+    """Batched multi-source BFS (reference concurrent_bfs /
+    multi_source_bfs): one (source, vertex) state frontier advances all
+    3 sources per superstep — S sources cost one join per level, not S
+    jobs. Oracle: source-tagged recursive closure with the same min-id
+    predecessor convention."""
+    from .operators.traversal import multi_source_bfs
+
+    G = Graph(edges_nation(spark, sf_dir), directed=True, weighted=True)
+    srcs = spark.createDataFrame([(0,), (1,), (2,)], "source long")
+    out = multi_source_bfs(G, srcs)
+    return out.select(
+        "source", "vertex",
+        F.col("distance").cast("long").alias("distance"),
+        F.col("predecessor").cast("long").alias("predecessor"),
+    )
+
+
+Q_MSBFS_SQL = f"""
+WITH RECURSIVE e AS ({EDGES_NATION_SQL}),
+walk(source, vertex, d) AS (
+    SELECT CAST(s AS BIGINT), CAST(s AS BIGINT), 0
+    FROM (VALUES (0), (1), (2)) t(s)
+    UNION
+    SELECT w.source, e.dst, w.d + 1
+    FROM walk w JOIN e ON e.src = w.vertex WHERE w.d < 30
+),
+dist AS (SELECT source, vertex, MIN(d) AS distance FROM walk GROUP BY 1, 2),
+pred AS (
+    SELECT dv.source, dv.vertex, MIN(du.vertex) AS predecessor
+    FROM dist dv
+    JOIN e ON e.dst = dv.vertex
+    JOIN dist du ON du.source = dv.source AND du.vertex = e.src
+                AND du.distance = dv.distance - 1
+    WHERE dv.distance > 0
+    GROUP BY 1, 2
+)
+SELECT d.source, d.vertex,
+       CAST(d.distance AS BIGINT) AS distance,
+       CAST(COALESCE(p.predecessor, -1) AS BIGINT) AS predecessor
+FROM dist d
+LEFT JOIN pred p ON p.source = d.source AND p.vertex = d.vertex
+"""
+
+
 # --------------------------------------- community / sampling / tree
 
 def q_louvain(spark, sf_dir):
@@ -1620,6 +1665,7 @@ def queries():
         "induced_subgraph": q_induced_subgraph,
         "coarsen": q_coarsen,
         "drop_multi_self": q_drop_multi_self,
+        "msbfs": q_msbfs,
         "louvain": q_louvain,
         "leiden": q_leiden,
         "ecg": q_ecg,
@@ -1714,4 +1760,5 @@ def oracle_sql():
         "induced_subgraph": Q_INDUCED_SQL,
         "coarsen": Q_COARSEN_SQL,
         "drop_multi_self": Q_DROP_MULTI_SELF_SQL,
+        "msbfs": Q_MSBFS_SQL,
     }
