@@ -1078,6 +1078,46 @@ LEFT JOIN pred p ON p.source = d.source AND p.vertex = d.vertex
 """
 
 
+def q_property_subgraph(spark, sf_dir):
+    """PropertyGraph end-to-end under the gate: two typed edge tables
+    (customer--placed-->order, order--supplied_by-->supplier), then
+    extract_subgraph on ONE type with a property filter — the
+    reference's PropertyGraph.extract_subgraph contract
+    (python structure/property_graph.py). Orders are offset into a
+    disjoint id space."""
+    from .property_graph import PropertyGraph
+
+    OFF = 1_000_000_000
+    orders = _read(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("long").alias("cust"),
+        (F.col("o_orderkey").cast("long") + OFF).alias("order"),
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    li = _read(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey").cast("long") + OFF).alias("order"),
+        F.col("l_suppkey").cast("long").alias("supp"),
+        F.col("l_quantity").cast("double").alias("l_quantity"),
+    )
+    pg = PropertyGraph()
+    pg.add_edge_data(orders, ("cust", "order"), type_name="placed")
+    pg.add_edge_data(li, ("order", "supp"), type_name="supplied_by")
+    G = pg.extract_subgraph(
+        edge_types=["placed"],
+        edge_filter="o_totalprice > 100000",
+        weight_col="o_totalprice",
+    )
+    return G.edges.select("src", "dst", "weight")
+
+
+Q_PROPERTY_SUBGRAPH_SQL = """
+SELECT CAST(o_custkey AS BIGINT) AS src,
+       CAST(o_orderkey AS BIGINT) + 1000000000 AS dst,
+       CAST(o_totalprice AS DOUBLE) AS weight
+FROM orders
+WHERE o_totalprice > 100000
+"""
+
+
 # --------------------------------------- community / sampling / tree
 
 def q_louvain(spark, sf_dir):
@@ -1666,6 +1706,7 @@ def queries():
         "coarsen": q_coarsen,
         "drop_multi_self": q_drop_multi_self,
         "msbfs": q_msbfs,
+        "property_subgraph": q_property_subgraph,
         "louvain": q_louvain,
         "leiden": q_leiden,
         "ecg": q_ecg,
@@ -1761,4 +1802,5 @@ def oracle_sql():
         "coarsen": Q_COARSEN_SQL,
         "drop_multi_self": Q_DROP_MULTI_SELF_SQL,
         "msbfs": Q_MSBFS_SQL,
+        "property_subgraph": Q_PROPERTY_SUBGRAPH_SQL,
     }
