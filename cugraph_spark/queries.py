@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import oracle_builders as ob
-from .graph import Graph
+from .graph import Graph, unrenumber
 from .operators.centrality import (
     degree_centrality,
     eigenvector_centrality,
@@ -1118,6 +1118,79 @@ WHERE o_totalprice > 100000
 """
 
 
+def q_code_pagerank(spark, sf_dir):
+    """The north-star shape end-to-end under the exact oracle gate: a
+    source-code repository table of exactly the input_hint schema
+    (repo, path, commit, lang, content) is derived deterministically
+    from `documents` (16 repos; file 0..15 are the per-repo stdlib
+    hubs; every file imports its own repo's stdlib plus one cross-repo
+    stdlib), the REAL import-link extraction runs over it
+    (sources/code_repo.py:extract_import_edges — regexp_extract_all +
+    explode + resolve semi-join + multiplicity groupBy, no per-row
+    Python), and 5 PageRank supersteps (α=0.85) rank the string-id
+    file graph. The SQL twin rebuilds the same table, regex-extracts
+    the same imports, and unrolls the same PageRank recurrence."""
+    from .sources.code_repo import extract_import_edges
+
+    docs = _read(spark, sf_dir, "documents")
+    r = F.col("doc_id") % 16
+    repo = F.concat(F.lit("repo"), F.format_string("%04d", r))
+    path = F.when(F.col("doc_id") < 16, F.lit("src/stdlib.src")).otherwise(
+        F.concat(F.lit("src/doc"), F.format_string("%05d", F.col("doc_id")),
+                 F.lit(".src"))
+    )
+    cross = (F.col("doc_id") * 7 + 3) % 16
+    content = F.concat_ws(
+        "\n",
+        F.concat(F.lit("import "), repo, F.lit(":src/stdlib.src")),
+        F.concat(F.lit("import repo"), F.format_string("%04d", cross),
+                 F.lit(":src/stdlib.src")),
+        F.col("text"),
+    )
+    files = docs.select(
+        repo.alias("repo"),
+        path.alias("path"),
+        F.sha2(content, 256).substr(1, 12).alias("commit"),
+        F.lit("python").alias("lang"),
+        content.alias("content"),
+    )
+    edges = extract_import_edges(files)
+    # string file ids → dense longs (renumber) → rank → external ids
+    # back (unrenumber), the reference NumberMap round-trip
+    G = Graph.from_edgelist(
+        edges, weight_col="weight", directed=True, do_renumber=True
+    )
+    pr = pagerank(G, alpha=0.85, tol=0.0, max_iter=5)
+    out = unrenumber(pr, G.mapping)
+    return out.select(
+        "vertex", (F.round("pagerank", 8) + F.lit(0.0)).alias("pagerank")
+    )
+
+
+CODE_EDGES_SQL = r"""
+WITH files AS (
+    SELECT 'repo' || printf('%04d', doc_id % 16) AS repo,
+           CASE WHEN doc_id < 16 THEN 'src/stdlib.src'
+                ELSE 'src/doc' || printf('%05d', doc_id) || '.src' END AS path,
+           concat_ws(chr(10),
+               'import repo' || printf('%04d', doc_id % 16) || ':src/stdlib.src',
+               'import repo' || printf('%04d', (doc_id * 7 + 3) % 16) || ':src/stdlib.src',
+               text) AS content
+    FROM documents
+),
+nodes AS (SELECT DISTINCT repo || ':' || path AS file_id FROM files),
+raw AS (
+    SELECT repo || ':' || path AS src,
+           unnest(regexp_extract_all(content, 'import (repo\d+:[\w/.]+)', 1)) AS dst
+    FROM files
+)
+SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS weight
+FROM raw JOIN nodes ON dst = file_id
+WHERE src <> dst
+GROUP BY 1, 2
+"""
+
+
 # --------------------------------------- community / sampling / tree
 
 def q_louvain(spark, sf_dir):
@@ -1707,6 +1780,7 @@ def queries():
         "drop_multi_self": q_drop_multi_self,
         "msbfs": q_msbfs,
         "property_subgraph": q_property_subgraph,
+        "code_pagerank": q_code_pagerank,
         "louvain": q_louvain,
         "leiden": q_leiden,
         "ecg": q_ecg,
@@ -1803,4 +1877,5 @@ def oracle_sql():
         "drop_multi_self": Q_DROP_MULTI_SELF_SQL,
         "msbfs": Q_MSBFS_SQL,
         "property_subgraph": Q_PROPERTY_SUBGRAPH_SQL,
+        "code_pagerank": _pagerank_sql(CODE_EDGES_SQL, 5, ALPHA),
     }
