@@ -27,12 +27,18 @@ from cugraph_spark.operators.pagerank import pagerank  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001: purchase-graph
-    PageRank to convergence, top-ranked vertices first."""
-    edges = q.edges_cs(spark, "/root/testdata/sf0.001")
-    G = Graph(edges, directed=True, weighted=True)
+    """Flagship on /root/testdata/sf0.001 — the north-star pipeline:
+    a source-code repository table of the input_hint schema
+    (repo, path, commit, lang, content) → import-link edge extraction
+    → PageRank (α=0.85) to tol 1e-6 convergence over the string-id
+    file graph (renumber → rank → unrenumber), hub files first."""
+    edges = q.code_graph_edges(spark, "/root/testdata/sf0.001")
+    G = Graph.from_edgelist(
+        edges, weight_col="weight", directed=True, do_renumber=True
+    )
     pr = pagerank(G, alpha=0.85, tol=1e-6, max_iter=200)
-    return pr.orderBy(F.desc("pagerank"), F.asc("vertex"))
+    out = q.unrenumber(pr, G.mapping)
+    return out.orderBy(F.desc("pagerank"), F.asc("vertex"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1118,18 +1118,16 @@ WHERE o_totalprice > 100000
 """
 
 
-def q_code_pagerank(spark, sf_dir):
-    """The north-star shape end-to-end under the exact oracle gate: a
-    source-code repository table of exactly the input_hint schema
-    (repo, path, commit, lang, content) is derived deterministically
-    from `documents` (16 repos; file 0..15 are the per-repo stdlib
-    hubs; every file imports its own repo's stdlib plus one cross-repo
-    stdlib), the REAL import-link extraction runs over it
-    (sources/code_repo.py:extract_import_edges — regexp_extract_all +
-    explode + resolve semi-join + multiplicity groupBy, no per-row
-    Python), and 5 PageRank supersteps (α=0.85) rank the string-id
-    file graph. The SQL twin rebuilds the same table, regex-extracts
-    the same imports, and unrolls the same PageRank recurrence."""
+def code_graph_edges(spark, sf_dir):
+    """The north-star input shape: a source-code repository table of
+    exactly the input_hint schema (repo, path, commit, lang, content),
+    derived deterministically from `documents` (16 repos; file 0..15
+    are the per-repo stdlib hubs; every file imports its own repo's
+    stdlib plus one cross-repo stdlib), then the REAL import-link
+    extraction (sources/code_repo.py:extract_import_edges —
+    regexp_extract_all + explode + resolve semi-join + multiplicity
+    groupBy, no per-row Python) → (src, dst, weight) over string
+    ``repo:path`` file ids."""
     from .sources.code_repo import extract_import_edges
 
     docs = _read(spark, sf_dir, "documents")
@@ -1154,9 +1152,17 @@ def q_code_pagerank(spark, sf_dir):
         F.lit("python").alias("lang"),
         content.alias("content"),
     )
-    edges = extract_import_edges(files)
-    # string file ids → dense longs (renumber) → rank → external ids
-    # back (unrenumber), the reference NumberMap round-trip
+    return extract_import_edges(files)
+
+
+def q_code_pagerank(spark, sf_dir):
+    """The north-star shape end-to-end under the exact oracle gate:
+    code_graph_edges (input_hint table → real import extraction), then
+    5 PageRank supersteps (α=0.85) over the string-id file graph via
+    the renumber → rank → unrenumber NumberMap round-trip. The SQL
+    twin rebuilds the same table, regex-extracts the same imports, and
+    unrolls the same PageRank recurrence."""
+    edges = code_graph_edges(spark, sf_dir)
     G = Graph.from_edgelist(
         edges, weight_col="weight", directed=True, do_renumber=True
     )
