@@ -23,8 +23,10 @@ with hash-min propagation accelerated by pointer jumping:
 Scale notes: the O(E) edge side is hash-partitioned on ``src`` once and
 persisted; each superstep re-shuffles only the O(V) label vector. The
 changed-count convergence check is the single action per superstep
-(host_scalar_allreduce analog). Labels checkpoint every
-``checkpoint_every`` supersteps for exact resume.
+(host_scalar_allreduce analog); ``check_every=k`` batches it to one
+action per k supersteps (overshoot-safe: a stable labeling is a
+fixpoint). Labels checkpoint every ``checkpoint_every`` supersteps for
+exact resume.
 """
 
 from __future__ import annotations
@@ -47,11 +49,19 @@ def weakly_connected_components(
     checkpoint: CheckpointManager | None = None,
     checkpoint_every: int = 5,
     resume: bool = False,
+    check_every: int = 1,
 ) -> DataFrame:
     """Returns DataFrame ``[vertex, labels]`` (reference column name,
     connectivity.py:102-200); ``labels`` = min vertex id in the
     component. Requires an undirected (symmetrized) graph, mirroring
-    the reference's check at connectivity.py:185-187."""
+    the reference's check at connectivity.py:185-187.
+
+    ``check_every=k`` runs the changed-count action (the only driver
+    round-trip) every k supersteps; intermediate supersteps stay lazy
+    and execute inside the next checking superstep's action. A stable
+    labeling is a fixpoint of hash-min + pointer-jump, so overshooting
+    convergence by up to k−1 supersteps returns identical labels
+    (same batching contract as label_propagation's ``check_every``)."""
     if G.directed:
         raise ValueError(
             "weakly_connected_components requires an undirected (symmetrized) "
@@ -83,6 +93,7 @@ def weakly_connected_components(
 
     V = G.number_of_vertices()
     for it in range(start_iter, max_iter):
+        checking = (it + 1) % check_every == 0 or it == max_iter - 1
         # hash-min over neighbors (isolated vertices keep their own label)
         sside = vertex_join_side(state, V)
         mins = (
@@ -118,6 +129,12 @@ def weakly_connected_components(
             )
             .transform(truncate_plan)
         )
+
+        if not checking:
+            # stay lazy: this superstep executes inside the next
+            # checking superstep's action
+            state = jumped.select("vertex", "labels")
+            continue
 
         changed = (
             jumped.agg(

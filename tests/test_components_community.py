@@ -54,6 +54,18 @@ def test_lpa_matches_oracle(spark, kind):
     assert got == {v: int(ref[v]) for v in sorted(got)}
 
 
+def test_wcc_check_every_identical(spark):
+    """Batched WCC convergence checks must not change labels: a stable
+    labeling is a fixpoint of hash-min + pointer-jump, so overshooting
+    convergence inside a lazy chain is a no-op."""
+    for kind in ("tiny_social", "disjoint", "line", "hub"):
+        edges = make_edges(kind)
+        G = Graph(edges_df(spark, edges), directed=False)
+        a = _as_map(weakly_connected_components(G).collect())
+        b = _as_map(weakly_connected_components(G, check_every=3).collect())
+        assert a == b, kind
+
+
 def test_lpa_check_every_identical(spark):
     """Batched convergence checks must not change labels: a stable
     labeling is a fixpoint of the synchronous update, so overshooting
