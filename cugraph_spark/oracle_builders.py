@@ -531,6 +531,26 @@ FROM starts s JOIN deg d ON s.vertex = d.src
 """
 
 
+def neighbor_sample_wr_invariants_sql(edges_sql: str, n_starts: int,
+                                      fanout0: int) -> str:
+    """Expected per-source invariant summary for q_neighbor_sample_wr
+    on a bipartite src→sink graph: hop 0 draws exactly fanout0 slots
+    per start with out-degree ≥ 1 (repeats allowed, so no distinct
+    count); hop 1 is empty (sampled dsts are sinks)."""
+    return f"""
+WITH e AS MATERIALIZED ({edges_sql}),
+verts AS MATERIALIZED (SELECT DISTINCT vertex FROM (
+    SELECT src AS vertex FROM e UNION ALL SELECT dst FROM e)),
+starts AS MATERIALIZED (SELECT vertex FROM verts ORDER BY vertex LIMIT {n_starts}),
+deg AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM e GROUP BY src)
+SELECT s.vertex AS src,
+       0 AS hop,
+       CAST({fanout0} AS BIGINT) AS n_rows,
+       CAST(0 AS BIGINT) AS bad_edges
+FROM starts s JOIN deg d ON s.vertex = d.src
+"""
+
+
 def all_vertices_ok_sql(edges_sql: str) -> str:
     """Expected [vertex, ok=TRUE] for per-vertex invariant queries —
     the Spark side computes the operator's local invariant per vertex

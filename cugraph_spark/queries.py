@@ -1685,6 +1685,36 @@ def q_neighbor_sample(spark, sf_dir):
     )
 
 
+def q_neighbor_sample_wr(spark, sf_dir):
+    """With-replacement neighbor sampling under the gate: fanout[h]
+    independent slot draws per frontier vertex (repeats allowed), so
+    the invariant is exactly fanout rows per start with out-degree ≥ 1
+    (hop 1 empty on this bipartite graph) and every sampled pair a
+    real edge."""
+    from .operators.sampling import uniform_neighbor_sample
+
+    e = edges_cs(spark, sf_dir)
+    G = Graph(e, directed=True, weighted=True)
+    starts = G.vertices().orderBy("vertex").limit(16)
+    s = uniform_neighbor_sample(
+        G, starts, fanout=[4, 2], seed=42, with_replacement=True
+    )
+    bad = (
+        s.join(G.edges.select("src", "dst"), ["src", "dst"], "left_anti")
+        .groupBy("src", "hop")
+        .agg(F.count("*").alias("bad"))
+    )
+    return (
+        s.groupBy("src", "hop")
+        .agg(F.count("*").alias("n_rows"))
+        .join(bad, ["src", "hop"], "left")
+        .select(
+            "src", "hop", "n_rows",
+            F.coalesce("bad", F.lit(0)).cast("long").alias("bad_edges"),
+        )
+    )
+
+
 def q_incremental_wcc(spark, sf_dir):
     """Incremental WCC end-to-end: the supplier co-purchase edges are
     split deterministically into two EdgeLog batches (xxhash64 parity);
@@ -1802,6 +1832,7 @@ def queries():
         "node2vec": q_node2vec,
         "coloring": q_coloring,
         "neighbor_sample": q_neighbor_sample,
+        "neighbor_sample_wr": q_neighbor_sample_wr,
         "betweenness": q_betweenness,
         "edge_betweenness": q_edge_betweenness,
         "clustering_scores": q_clustering_scores,
@@ -1866,6 +1897,8 @@ def oracle_sql():
         "node2vec": ob.walk_invariants_sql(EDGES_CS_SQL, n_starts=16, expected_rows=2),
         "coloring": ob.all_vertices_ok_sql(EDGES_NATION_SQL),
         "neighbor_sample": ob.neighbor_sample_invariants_sql(
+            EDGES_CS_SQL, n_starts=16, fanout0=4),
+        "neighbor_sample_wr": ob.neighbor_sample_wr_invariants_sql(
             EDGES_CS_SQL, n_starts=16, fanout0=4),
         "mis": ob.mis_invariants_sql(EDGES_SS_SQL),
         "minhash_pairs": ob.minhash_sql(threshold=0.5),
