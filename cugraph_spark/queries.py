@@ -210,6 +210,66 @@ def q_pagerank(spark, sf_dir):
     return pr.select("vertex", (F.round("pagerank", 8) + F.lit(0.0)).alias("pagerank"))
 
 
+def q_pagerank_pers(spark, sf_dir):
+    """Personalized PageRank under the gate (pagerank_impl.cuh:299-319
+    semantics: teleport AND dangling mass redistribute to the
+    normalized personalization vector, zero for unlisted vertices) —
+    personalization = every 10th vertex id, so both the customer and
+    offset-supplier id ranges are hit. tol=0.0 takes the zero-action
+    chained loop, so this also gates chained+personalization."""
+    e = edges_cs(spark, sf_dir)
+    G = Graph(e, directed=True, weighted=True)
+    pers = (
+        G.vertices()
+        .filter(F.col("vertex") % 10 == 0)
+        .withColumn("values", F.lit(1.0))
+    )
+    pr = pagerank(G, alpha=ALPHA, tol=0.0, max_iter=PR_ITERS,
+                  personalization=pers)
+    return pr.select(
+        "vertex", (F.round("pagerank", 8) + F.lit(0.0)).alias("pagerank")
+    )
+
+
+def _pagerank_pers_sql(edges_sql: str, iters: int, alpha: float,
+                       pers_case: str) -> str:
+    """Unrolled personalized-PageRank twin: rank_{i+1}(v) =
+    α·contrib(v) + (dang_i·α + (1−α))·pnorm(v), pnorm = normalized
+    ``pers_case`` expression over the vertex set (0 for unlisted)."""
+    parts = [
+        f"WITH edges AS ({edges_sql})",
+        "verts AS (SELECT src AS vertex FROM edges UNION SELECT dst FROM edges)",
+        "vc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM verts)",
+        "ows AS (SELECT v.vertex, COALESCE(s.ows, 0.0) AS ows FROM verts v "
+        "LEFT JOIN (SELECT src, SUM(weight) AS ows FROM edges GROUP BY src) s "
+        "ON v.vertex = s.src)",
+        f"praw AS (SELECT vertex, CAST({pers_case} AS DOUBLE) AS pv FROM verts)",
+        "ps AS (SELECT SUM(pv) AS s FROM praw)",
+        "pn AS (SELECT vertex, pv / (SELECT s FROM ps) AS p FROM praw)",
+        "r0 AS (SELECT o.vertex, o.ows, 1.0 / (SELECT v FROM vc) AS rank FROM ows o)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"d{i} AS (SELECT COALESCE(SUM(CASE WHEN ows = 0.0 THEN rank END), 0.0) AS dang FROM r{i})"
+        )
+        parts.append(
+            f"c{i} AS (SELECT e.dst AS vertex, "
+            f"SUM(r.rank / (CASE WHEN r.ows = 0.0 THEN 1.0 ELSE r.ows END) * e.weight) AS contrib "
+            f"FROM edges e JOIN r{i} r ON e.src = r.vertex GROUP BY e.dst)"
+        )
+        parts.append(
+            f"r{i + 1} AS (SELECT o.vertex, o.ows, "
+            f"{alpha} * COALESCE(c.contrib, 0.0) + "
+            f"((SELECT dang FROM d{i}) * {alpha} + {1.0 - alpha}) * pn.p AS rank "
+            f"FROM ows o JOIN pn ON o.vertex = pn.vertex "
+            f"LEFT JOIN c{i} c ON o.vertex = c.vertex)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT vertex, ROUND(rank, 8) + 0.0 AS pagerank FROM r{iters}"
+    )
+
+
 def _pagerank_sql(edges_sql: str, iters: int, alpha: float) -> str:
     parts = [
         f"WITH edges AS ({edges_sql})",
@@ -1776,6 +1836,7 @@ def queries():
         "symmetrize": q_symmetrize,
         "renumber": q_renumber,
         "pagerank5": q_pagerank,
+        "pagerank_pers5": q_pagerank_pers,
         "katz3": q_katz,
         "wcc": q_wcc,
         "lpa2": q_lpa,
@@ -1849,6 +1910,9 @@ def oracle_sql():
         "symmetrize": Q_SYMMETRIZE_SQL,
         "renumber": Q_RENUMBER_SQL,
         "pagerank5": _pagerank_sql(EDGES_CS_SQL, PR_ITERS, ALPHA),
+        "pagerank_pers5": _pagerank_pers_sql(
+            EDGES_CS_SQL, PR_ITERS, ALPHA,
+            "CASE WHEN vertex % 10 = 0 THEN 1.0 ELSE 0.0 END"),
         "katz3": _katz_sql(EDGES_CS_SQL, KATZ_ITERS, KATZ_ALPHA, 1.0),
         "wcc": Q_WCC_SQL,
         "lpa2": _lpa_sql(EDGES_NATION_SQL, LPA_ITERS),
