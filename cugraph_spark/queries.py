@@ -470,6 +470,68 @@ FROM isect i JOIN wdeg da ON i.a = da.v JOIN wdeg db ON i.b = db.v
 """
 
 
+_SIM_W_SKELETON = f"""
+WITH e AS ({EDGES_NATION_SQL}),
+und AS (
+    SELECT src, dst, MIN(weight) AS w FROM (
+        SELECT src, dst, weight FROM e
+        UNION ALL
+        SELECT dst AS src, src AS dst, weight FROM e
+    ) GROUP BY 1, 2
+),
+nl AS (SELECT * FROM und WHERE src <> dst),
+wdeg AS (SELECT src AS v, SUM(w) AS wd FROM nl GROUP BY 1),
+isect AS (
+    SELECT a.src AS a, b.src AS b, SUM(LEAST(a.w, b.w)) AS w_min
+    FROM nl a JOIN nl b ON a.dst = b.dst AND a.src < b.src
+    GROUP BY 1, 2
+)
+"""
+
+
+def q_overlap_w(spark, sf_dir):
+    """Weighted overlap (use_weight=True): w_min∩ / min(wdeg_a, wdeg_b)
+    — similarity_impl.cuh:130-168 weighted semantics."""
+    from .operators.similarity import overlap as _overlap
+
+    e = edges_nation(spark, sf_dir)
+    G = Graph(e, directed=False, weighted=True)
+    return _overlap(G, use_weight=True).select(
+        "first", "second",
+        (F.round("overlap_coeff", 6) + F.lit(0.0)).alias("overlap_coeff"),
+    )
+
+
+Q_OVERLAP_W_SQL = _SIM_W_SKELETON + """
+SELECT i.a AS first, i.b AS second,
+       ROUND(CASE WHEN LEAST(da.wd, db.wd) <= 0 THEN 0.0
+                  ELSE i.w_min / LEAST(da.wd, db.wd) END, 6) + 0.0
+       AS overlap_coeff
+FROM isect i JOIN wdeg da ON i.a = da.v JOIN wdeg db ON i.b = db.v
+"""
+
+
+def q_sorensen_w(spark, sf_dir):
+    """Weighted Sørensen (use_weight=True): 2·w_min∩ / (wdeg_a+wdeg_b)."""
+    from .operators.similarity import sorensen as _sorensen
+
+    e = edges_nation(spark, sf_dir)
+    G = Graph(e, directed=False, weighted=True)
+    return _sorensen(G, use_weight=True).select(
+        "first", "second",
+        (F.round("sorensen_coeff", 6) + F.lit(0.0)).alias("sorensen_coeff"),
+    )
+
+
+Q_SORENSEN_W_SQL = _SIM_W_SKELETON + """
+SELECT i.a AS first, i.b AS second,
+       ROUND(CASE WHEN (da.wd + db.wd) <= 0 THEN 0.0
+                  ELSE 2.0 * i.w_min / (da.wd + db.wd) END, 6) + 0.0
+       AS sorensen_coeff
+FROM isect i JOIN wdeg da ON i.a = da.v JOIN wdeg db ON i.b = db.v
+"""
+
+
 def q_jaccard(spark, sf_dir):
     e = edges_ss(spark, sf_dir)
     G = Graph(e, directed=False, weighted=True)
@@ -1844,6 +1906,8 @@ def queries():
         "edge_triangle_count": q_edge_triangle_count,
         "jaccard": q_jaccard,
         "jaccard_w": q_jaccard_w,
+        "overlap_w": q_overlap_w,
+        "sorensen_w": q_sorensen_w,
         "bfs": q_bfs,
         "two_hop": q_two_hop,
         "core_number": q_core_number,
@@ -1920,6 +1984,8 @@ def oracle_sql():
         "edge_triangle_count": Q_EDGE_TRIANGLE_SQL,
         "jaccard": Q_JACCARD_SQL,
         "jaccard_w": Q_JACCARD_W_SQL,
+        "overlap_w": Q_OVERLAP_W_SQL,
+        "sorensen_w": Q_SORENSEN_W_SQL,
         "bfs": Q_BFS_SQL,
         "two_hop": Q_TWO_HOP_SQL,
         "doc_language": _langid_sql(),
