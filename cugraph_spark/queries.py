@@ -1892,6 +1892,95 @@ SELECT vertex, CAST(MIN(label) AS BIGINT) AS labels FROM reach GROUP BY vertex
 
 # ---------------------------------------------------------------- registry
 
+# ---------------------------------------------------------------- events
+# Event-time analytics over the `events` table — the batch side of the
+# stream-batch-symmetric transforms in streaming/events.py (the same
+# plans run over readStream with watermarks; tests/test_streaming_events.py
+# verifies the streaming side, these queries verify the arithmetic).
+
+
+def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.events import windowed_event_stats
+
+    return windowed_event_stats(_read(spark, sf_dir, "events"), window="1 hour")
+
+
+Q_EVENTS_WINDOWED_SQL = """
+SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS w_start_us,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 6) + 0.0 AS sum_value,
+       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INT)), 6) + 0.0 AS avg_k
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.events import sessionized_user_stats
+
+    return sessionized_user_stats(
+        _read(spark, sf_dir, "events"), gap="30 minutes"
+    )
+
+
+Q_EVENTS_SESSIONS_SQL = """
+WITH o AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), i AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id,
+       epoch_us(MIN(ts)) AS session_start_us,
+       epoch_us(MAX(ts) + INTERVAL '30 minutes') AS session_end_us,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 6) + 0.0 AS sum_value
+FROM i
+GROUP BY user_id, sid
+"""
+
+
+def q_events_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user totals at each event — the batch twin of the
+    ``running_user_totals`` applyInPandasWithState emission sequence
+    (both accumulate left-to-right in (ts, event_id) order, so the
+    doubles match bitwise before rounding)."""
+    from pyspark.sql.window import Window
+
+    ev = _read(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .cast("long")
+        .alias("run_n"),
+        (F.round(F.sum("value").over(w), 6) + F.lit(0.0)).alias("run_sum"),
+    )
+
+
+Q_EVENTS_RUNNING_SQL = """
+SELECT event_id, user_id,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS run_n,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 6) + 0.0 AS run_sum
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 def queries():
     return {
         "out_degree": q_out_degree,
@@ -1965,6 +2054,9 @@ def queries():
         "incremental_pagerank": q_incremental_pagerank,
         "scc": q_scc,
         "mis": q_mis,
+        "events_windowed": q_events_windowed,
+        "events_sessions": q_events_sessions,
+        "events_running": q_events_running,
     }
 
 
@@ -2047,4 +2139,7 @@ def oracle_sql():
         "msbfs": Q_MSBFS_SQL,
         "property_subgraph": Q_PROPERTY_SUBGRAPH_SQL,
         "code_pagerank": _pagerank_sql(CODE_EDGES_SQL, 5, ALPHA),
+        "events_windowed": Q_EVENTS_WINDOWED_SQL,
+        "events_sessions": Q_EVENTS_SESSIONS_SQL,
+        "events_running": Q_EVENTS_RUNNING_SQL,
     }
