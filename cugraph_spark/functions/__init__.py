@@ -29,3 +29,9 @@ from .multimodal import (  # noqa: F401
     resize_images,
     sample_frames,
 )
+from .curation import (  # noqa: F401
+    deterministic_sample_n,
+    hash_sample,
+    stratified_sample,
+    top_k_per_group,
+)

@@ -1892,6 +1892,89 @@ SELECT vertex, CAST(MIN(label) AS BIGINT) AS labels FROM reach GROUP BY vertex
 
 # ---------------------------------------------------------------- registry
 
+# ------------------------------------------------- curation sampling
+
+_SAMPLE_SEED = 7
+_H60 = "('0x' || substr(md5('%d:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT" % _SAMPLE_SEED
+
+
+def q_doc_sample(spark, sf_dir):
+    """Shuffle-free deterministic Bernoulli sample (15% by keyed hash)
+    on the portable md5-60 hash so DuckDB reproduces the selection
+    bit-exactly; production default is xxhash64 (same plan shape)."""
+    from .functions.curation import hash_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    return hash_sample(docs, 0.15, seed=_SAMPLE_SEED, hash_fn="md5_60").select(
+        "doc_id", "lang"
+    )
+
+
+Q_DOC_SAMPLE_SQL = f"""
+SELECT doc_id, lang FROM documents WHERE {_H60} < {int(0.15 * (1 << 60))}
+"""
+
+
+def q_doc_stratified(spark, sf_dir):
+    """Exact per-language quota sample (20 docs/lang) by seeded-hash
+    order within each stratum."""
+    from .functions.curation import stratified_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, ["lang"], 20, seed=_SAMPLE_SEED, hash_fn="md5_60"
+    ).select("doc_id", "lang", "sample_rank")
+
+
+Q_DOC_STRATIFIED_SQL = f"""
+WITH r AS (
+  SELECT doc_id, lang,
+         CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY {_H60}, doc_id)
+              AS BIGINT) AS sample_rank
+  FROM documents
+)
+SELECT doc_id, lang, sample_rank FROM r WHERE sample_rank <= 20
+"""
+
+
+def q_doc_topk(spark, sf_dir):
+    """Top-5 documents per language by length (rank column is the
+    1-based position; ties broken by doc_id for a total order)."""
+    from .functions.curation import top_k_per_group
+
+    docs = _read(spark, sf_dir, "documents")
+    return top_k_per_group(docs, ["lang"], "n_chars", 5).select(
+        "doc_id", "lang", "n_chars", "rank"
+    )
+
+
+Q_DOC_TOPK_SQL = """
+WITH r AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id)
+              AS BIGINT) AS rank
+  FROM documents
+)
+SELECT doc_id, lang, n_chars, rank FROM r WHERE rank <= 5
+"""
+
+
+def q_doc_sample_n(spark, sf_dir):
+    """Exact global-n uniform sample (n=50) by seeded-hash order —
+    Catalyst plans TakeOrderedAndProject (per-partition heaps), no
+    global sort."""
+    from .functions.curation import deterministic_sample_n
+
+    docs = _read(spark, sf_dir, "documents")
+    return deterministic_sample_n(
+        docs, 50, seed=_SAMPLE_SEED, hash_fn="md5_60"
+    ).select("doc_id", "lang")
+
+
+Q_DOC_SAMPLE_N_SQL = f"""
+SELECT doc_id, lang FROM documents ORDER BY {_H60}, doc_id LIMIT 50
+"""
+
 # ---------------------------------------------------------------- events
 # Event-time analytics over the `events` table — the batch side of the
 # stream-batch-symmetric transforms in streaming/events.py (the same
@@ -2054,6 +2137,10 @@ def queries():
         "incremental_pagerank": q_incremental_pagerank,
         "scc": q_scc,
         "mis": q_mis,
+        "doc_sample": q_doc_sample,
+        "doc_stratified": q_doc_stratified,
+        "doc_topk": q_doc_topk,
+        "doc_sample_n": q_doc_sample_n,
         "events_windowed": q_events_windowed,
         "events_sessions": q_events_sessions,
         "events_running": q_events_running,
@@ -2139,6 +2226,10 @@ def oracle_sql():
         "msbfs": Q_MSBFS_SQL,
         "property_subgraph": Q_PROPERTY_SUBGRAPH_SQL,
         "code_pagerank": _pagerank_sql(CODE_EDGES_SQL, 5, ALPHA),
+        "doc_sample": Q_DOC_SAMPLE_SQL,
+        "doc_stratified": Q_DOC_STRATIFIED_SQL,
+        "doc_topk": Q_DOC_TOPK_SQL,
+        "doc_sample_n": Q_DOC_SAMPLE_N_SQL,
         "events_windowed": Q_EVENTS_WINDOWED_SQL,
         "events_sessions": Q_EVENTS_SESSIONS_SQL,
         "events_running": Q_EVENTS_RUNNING_SQL,
