@@ -40,7 +40,7 @@ from ..plans.strategy import vertex_join_side
 def label_propagation(
     G: Graph,
     max_iter: int = 20,
-    num_partitions: int | None = None,
+    num_partitions: int | str | None = None,
     checkpoint: CheckpointManager | None = None,
     checkpoint_every: int = 5,
     resume: bool = False,
@@ -64,7 +64,9 @@ def label_propagation(
             "label_propagation requires an undirected (symmetrized) graph"
         )
     spark = G.edges.sparkSession
-    P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    from ..plans.strategy import resolve_partitions
+
+    P = resolve_partitions(num_partitions, G.edges)
 
     edges = (
         G.edges.select(SRC, DST, WGT)

@@ -92,7 +92,7 @@ def pagerank(
     fail_on_nonconvergence: bool = True,
     mode: str = "dataframe",
     salt: int | None = None,
-    num_partitions: int | None = None,
+    num_partitions: int | str | None = None,
     checkpoint: CheckpointManager | None = None,
     checkpoint_every: int = 10,
     resume: bool = False,
@@ -125,7 +125,9 @@ def pagerank(
     """
     spark = G.edges.sparkSession
     sc = spark.sparkContext
-    P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    from ..plans.strategy import resolve_partitions
+
+    P = resolve_partitions(num_partitions, G.edges)
 
     if chained is None:
         chained = tol == 0.0 and checkpoint is None and mode == "dataframe"

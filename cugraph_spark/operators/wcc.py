@@ -45,7 +45,7 @@ from ..plans.strategy import vertex_join_side
 def weakly_connected_components(
     G: Graph,
     max_iter: int = 100,
-    num_partitions: int | None = None,
+    num_partitions: int | str | None = None,
     checkpoint: CheckpointManager | None = None,
     checkpoint_every: int = 5,
     resume: bool = False,
@@ -68,7 +68,9 @@ def weakly_connected_components(
             "graph — construct Graph(..., directed=False)"
         )
     spark = G.edges.sparkSession
-    P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    from ..plans.strategy import resolve_partitions
+
+    P = resolve_partitions(num_partitions, G.edges)
 
     edges = (
         G.edges.select(SRC, DST)

@@ -35,3 +35,59 @@ def vertex_join_side(state: DataFrame, n_vertices: int | None,
     if n_vertices is not None and n_vertices <= limit:
         return F.broadcast(state)
     return state.hint("shuffle_hash")
+
+
+# ------------------------------------------------ adaptive partitions
+
+ADAPTIVE_MAX_PARTITIONS = 32_768
+_STATS_UNRELIABLE = 1 << 60  # Catalyst's "unknown" fallback sizes are huge
+
+
+def adaptive_partitions(
+    df: DataFrame,
+    target_bytes: int | None = None,
+    min_partitions: int | None = None,
+    max_partitions: int = ADAPTIVE_MAX_PARTITIONS,
+) -> int:
+    """Size a partition count from Catalyst plan statistics: enough
+    partitions that each holds ~``target_bytes`` of the input
+    (default: ``spark.sql.files.maxPartitionBytes``, 128MB), floored at
+    the cluster's scheduling width (``defaultParallelism``) and capped
+    at ``max_partitions``.
+
+    A fixed ``spark.sql.shuffle.partitions`` cannot be right at both
+    ends of a 100 TB pipeline — thousands of tasks per superstep on a
+    coarsened 1M-edge community graph, or multi-GB partitions on the
+    raw edge list. Statistics come from ``optimizedPlan().stats()``
+    (parquet/Iceberg scans report real sizes; UDF plans carry
+    Catalyst's row-based estimate; zero extra Spark actions). When
+    statistics are missing or are the "unknown" huge default, fall
+    back to ``spark.sql.shuffle.partitions`` — never trust an unknown
+    into a 32k-task storm.
+
+    Operators accept ``num_partitions="auto"`` to opt in; the literal
+    ``int`` override and the shuffle-partitions default are unchanged.
+    """
+    spark = df.sparkSession
+    fallback = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return fallback
+    if size <= 0 or size >= _STATS_UNRELIABLE:
+        return fallback
+    if target_bytes is None:
+        raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        target_bytes = int(str(raw).lower().rstrip("b") or 134217728)
+    floor = min_partitions or spark.sparkContext.defaultParallelism
+    return max(floor, min(max_partitions, -(-size // target_bytes)))
+
+
+def resolve_partitions(num_partitions, df: DataFrame) -> int:
+    """The shared operator idiom: explicit int wins; ``"auto"`` sizes
+    from plan statistics; ``None`` keeps ``spark.sql.shuffle.partitions``."""
+    if num_partitions == "auto":
+        return adaptive_partitions(df)
+    if num_partitions is not None:
+        return int(num_partitions)
+    return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
