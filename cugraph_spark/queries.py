@@ -1999,6 +1999,35 @@ GROUP BY 1, 2
 """
 
 
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window stats (1-hour window every 30 minutes): each
+    event lands in window/slide = 2 overlapping windows; the DuckDB
+    twin expands each event into its k covering window starts."""
+    from .streaming.events import windowed_event_stats
+
+    return windowed_event_stats(
+        _read(spark, sf_dir, "events"), window="1 hour", slide="30 minutes"
+    )
+
+
+Q_EVENTS_SLIDING_SQL = """
+WITH expanded AS (
+  SELECT e.*,
+         time_bucket(INTERVAL '30 minutes', ts) - k.k * INTERVAL '30 minutes' AS w_start
+  FROM events e, (SELECT UNNEST(range(0, 2)) AS k) k
+  WHERE ts < time_bucket(INTERVAL '30 minutes', ts)
+             - k.k * INTERVAL '30 minutes' + INTERVAL '1 hour'
+)
+SELECT epoch_us(w_start) AS w_start_us,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 6) + 0.0 AS sum_value,
+       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INT)), 6) + 0.0 AS avg_k
+FROM expanded
+GROUP BY 1, 2
+"""
+
+
 def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.events import sessionized_user_stats
 
@@ -2142,6 +2171,7 @@ def queries():
         "doc_topk": q_doc_topk,
         "doc_sample_n": q_doc_sample_n,
         "events_windowed": q_events_windowed,
+        "events_sliding": q_events_sliding,
         "events_sessions": q_events_sessions,
         "events_running": q_events_running,
     }
@@ -2231,6 +2261,7 @@ def oracle_sql():
         "doc_topk": Q_DOC_TOPK_SQL,
         "doc_sample_n": Q_DOC_SAMPLE_N_SQL,
         "events_windowed": Q_EVENTS_WINDOWED_SQL,
+        "events_sliding": Q_EVENTS_SLIDING_SQL,
         "events_sessions": Q_EVENTS_SESSIONS_SQL,
         "events_running": Q_EVENTS_RUNNING_SQL,
     }
