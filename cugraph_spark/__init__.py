@@ -34,6 +34,7 @@ from .operators.centrality import (  # noqa: F401
 )
 from .operators.traversal import (  # noqa: F401
     bfs,
+    bfs_edges,
     concurrent_bfs,
     filter_unreachable,
     k_hop_neighbors,

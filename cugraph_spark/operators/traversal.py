@@ -32,6 +32,23 @@ from pyspark.sql import functions as F
 from ..graph import DST, SRC, WGT, Graph
 
 
+def bfs_edges(
+    G: Graph,
+    source: int,
+    reverse: bool = False,
+    depth_limit: int | None = None,
+    sort_neighbors=None,
+) -> DataFrame:
+    """API-parity alias: the reference's ``bfs_edges``
+    (``python/cugraph/cugraph/traversal/bfs.py:256-330``) forwards to
+    ``bfs`` and rejects ``reverse``/``sort_neighbors`` itself."""
+    if reverse:
+        raise NotImplementedError("reverse traversal is not supported")
+    if sort_neighbors is not None:
+        raise NotImplementedError("sort_neighbors is not supported")
+    return bfs(G, source, max_depth=depth_limit)
+
+
 def bfs(
     G: Graph,
     source: int,

@@ -194,3 +194,22 @@ def test_harmonize_scores(spark):
     df = spark.createDataFrame([(0, 1), (1, 2)], "vertex int, values int")
     out = harmonize_scores(df)
     assert out.schema.simpleString() == "struct<vertex:bigint,values:double>"
+
+
+def test_bfs_edges_alias(spark):
+    """bfs_edges forwards to bfs (reference traversal/bfs.py:256-330)
+    and rejects the parameters the reference itself rejects."""
+    import pytest
+
+    from cugraph_spark import bfs, bfs_edges
+    from cugraph_spark.graph import Graph
+    from .conftest import edges_df, make_edges
+
+    G = Graph(edges_df(spark, make_edges("tiny_social")), directed=False)
+    a = sorted(map(tuple, bfs_edges(G, 0, depth_limit=3).collect()))
+    b = sorted(map(tuple, bfs(G, 0, max_depth=3).collect()))
+    assert a == b
+    with pytest.raises(NotImplementedError):
+        bfs_edges(G, 0, reverse=True)
+    with pytest.raises(NotImplementedError):
+        bfs_edges(G, 0, sort_neighbors=lambda x: x)
