@@ -187,16 +187,30 @@ class Graph:
         weighted: bool = True,
         multi_edge: bool = False,
         renumbered_mapping: DataFrame | None = None,
+        pre_partitioned: bool = False,
+        assume_symmetric: bool = False,
     ):
         e = _check_edge_cols(edges, weighted)
+        transformed = False
         if not multi_edge:
             e = drop_multi_edges(e, keep="min")
-        if not directed:
+            transformed = True
+        if not directed and not assume_symmetric:
+            # assume_symmetric declares the input is ALREADY the
+            # symmetrized physical form (e.g. a bucketed table written
+            # from Graph.edges of an undirected graph) — skipping the
+            # re-symmetrize keeps the on-disk layout usable.
             e = symmetrize(e)
+            transformed = True
         self.edges = e
         self.directed = directed
         self.weighted = weighted
         self.mapping = renumbered_mapping
+        # pre_partitioned declares the edges arrive hash-partitioned on
+        # src (e.g. a bucketed-table scan, sources/bucketed.py) so
+        # superstep operators skip their repartition(P, src). Any
+        # constructor transform re-shuffles and voids that layout.
+        self.pre_partitioned = pre_partitioned and not transformed
 
     # ---- construction helpers (cugraph from_*_edgelist analogs) ----
 

@@ -68,11 +68,10 @@ def label_propagation(
 
     P = resolve_partitions(num_partitions, G.edges)
 
-    edges = (
-        G.edges.select(SRC, DST, WGT)
-        .repartition(P, SRC)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    e = G.edges.select(SRC, DST, WGT)
+    if not G.pre_partitioned:  # select preserves a bucketed layout
+        e = e.repartition(P, SRC)
+    edges = e.persist(StorageLevel.MEMORY_AND_DISK)
 
     start_iter = 0
     if resume and checkpoint is not None and checkpoint.latest_iteration() is not None:

@@ -146,7 +146,8 @@ def pagerank(
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
     else:
-        edges = G.edges.repartition(P, SRC).persist(StorageLevel.MEMORY_AND_DISK)
+        e = G.edges if G.pre_partitioned else G.edges.repartition(P, SRC)
+        edges = e.persist(StorageLevel.MEMORY_AND_DISK)
 
     if precomputed_vertex_out_weight is not None:
         ows = precomputed_vertex_out_weight.select("vertex", F.col("ows").cast("double"))

@@ -72,12 +72,10 @@ def weakly_connected_components(
 
     P = resolve_partitions(num_partitions, G.edges)
 
-    edges = (
-        G.edges.select(SRC, DST)
-        .filter(F.col(SRC) != F.col(DST))
-        .repartition(P, SRC)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    e = G.edges.select(SRC, DST).filter(F.col(SRC) != F.col(DST))
+    if not G.pre_partitioned:  # select/filter preserve a bucketed layout
+        e = e.repartition(P, SRC)
+    edges = e.persist(StorageLevel.MEMORY_AND_DISK)
 
     start_iter = 0
     if resume and checkpoint is not None and checkpoint.latest_iteration() is not None:
