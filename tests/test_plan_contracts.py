@@ -1,0 +1,71 @@
+"""Plan-shape regression tests: the physical-plan properties the
+engine's scale story depends on, asserted so a refactor can't silently
+lose them."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cugraph_spark.graph import Graph
+from cugraph_spark.plans.strategy import vertex_join_side
+from .conftest import edges_df, make_edges
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_and_projection_reach_parquet_scan(spark):
+    df = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter(F.col("lang") == "en")
+        .select("doc_id", "n_chars")
+    )
+    plan = _plan(df)
+    # predicate pushdown: the filter appears in the scan's PushedFilters
+    assert "PushedFilters" in plan and "EqualTo(lang,en)" in plan
+    # column pruning: the scan schema must NOT include the heavy text col
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "doc_id" in read_schema and "text" not in read_schema
+
+
+def test_vertex_join_side_picks_broadcast_then_shuffle_hash(spark):
+    e = edges_df(spark, make_edges("tiny_social"))
+    state = e.select(F.col("src").alias("vertex")).distinct()
+    b = e.join(vertex_join_side(state, 100), e.src == F.col("vertex"))
+    assert "BroadcastHashJoin" in _plan(b)
+    s = e.join(
+        vertex_join_side(state, 100_000_000), e.src == F.col("vertex")
+    )
+    plan = _plan(s)
+    assert "ShuffledHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_superstep_message_agg_is_partial(spark):
+    # groupBy(dst).sum must plan a map-side partial aggregate before
+    # the exchange (the reduce_op::plus shuffle-combine analog)
+    e = edges_df(spark, make_edges("tiny_social"))
+    agg = e.groupBy("dst").agg(F.sum("weight"))
+    plan = _plan(agg)
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_triangle_count_plan_has_no_nested_loop(spark):
+    from cugraph_spark.operators.triangle_count import triangle_count
+
+    G = Graph(edges_df(spark, make_edges("tiny_social")), directed=False)
+    plan = _plan(triangle_count(G))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_whole_stage_codegen_covers_text_scoring(spark):
+    # the text pipeline must stay JVM-side: no Python UDF nodes
+    from cugraph_spark.functions.text import quality_score
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(quality_score(docs))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "*(1)" in plan  # the whole-stage-codegen stage marker
