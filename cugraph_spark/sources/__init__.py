@@ -5,3 +5,5 @@ from .code_repo import (  # noqa: F401
     with_content_sha,
 )
 from .rmat import rmat_edges  # noqa: F401
+from .bucketed import read_bucketed_edges, write_bucketed_edges  # noqa: F401
+from .mtx import read_mtx, read_mtx_edges  # noqa: F401
