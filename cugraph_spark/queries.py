@@ -1319,6 +1319,39 @@ GROUP BY 1, 2
 """
 
 
+def q_code_pipeline(spark, sf_dir):
+    """Composite flagship: the graph, text, and curation families in
+    ONE declarative plan — input_hint code table → import-graph
+    PageRank (renumber round-trip) → per-repo top-3 files by rank
+    (total-order tie-break on the file id). The SQL twin nests the
+    unrolled PageRank as a derived table and re-ranks with the same
+    window."""
+    from .functions.curation import top_k_per_group
+
+    edges = code_graph_edges(spark, sf_dir)
+    G = Graph.from_edgelist(
+        edges, weight_col="weight", directed=True, do_renumber=True
+    )
+    pr = unrenumber(pagerank(G, alpha=0.85, tol=0.0, max_iter=5), G.mapping)
+    ranked = pr.select(
+        "vertex", (F.round("pagerank", 8) + F.lit(0.0)).alias("pagerank")
+    ).withColumn("repo", F.split(F.col("vertex"), ":").getItem(0))
+    out = top_k_per_group(ranked, ["repo"], "pagerank", 3, key_col="vertex")
+    return out.select("repo", "vertex", "pagerank", "rank")
+
+
+def _code_pipeline_sql() -> str:
+    pr = _pagerank_sql(CODE_EDGES_SQL, 5, ALPHA)
+    return f"""
+WITH ranked AS (
+  SELECT split_part(vertex, ':', 1) AS repo, vertex, pagerank,
+         CAST(ROW_NUMBER() OVER (PARTITION BY split_part(vertex, ':', 1)
+              ORDER BY pagerank DESC, vertex) AS BIGINT) AS rank
+  FROM ({pr}) pr
+)
+SELECT repo, vertex, pagerank, rank FROM ranked WHERE rank <= 3
+"""
+
 # --------------------------------------- community / sampling / tree
 
 def q_louvain(spark, sf_dir):
@@ -2166,6 +2199,7 @@ def queries():
         "incremental_pagerank": q_incremental_pagerank,
         "scc": q_scc,
         "mis": q_mis,
+        "code_pipeline": q_code_pipeline,
         "doc_sample": q_doc_sample,
         "doc_stratified": q_doc_stratified,
         "doc_topk": q_doc_topk,
@@ -2256,6 +2290,7 @@ def oracle_sql():
         "msbfs": Q_MSBFS_SQL,
         "property_subgraph": Q_PROPERTY_SUBGRAPH_SQL,
         "code_pagerank": _pagerank_sql(CODE_EDGES_SQL, 5, ALPHA),
+        "code_pipeline": _code_pipeline_sql(),
         "doc_sample": Q_DOC_SAMPLE_SQL,
         "doc_stratified": Q_DOC_STRATIFIED_SQL,
         "doc_topk": Q_DOC_TOPK_SQL,
