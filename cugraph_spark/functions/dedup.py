@@ -148,11 +148,11 @@ def ngram_jaccard_pairs(
     sh = shingles(df.select(id_col, text_col), text_col, n=n).select(
         F.col(id_col).alias("id"), F.col("shingles")
     )
-    if pairs is not None:
-        want = pairs.select(
-            F.least(pairs.columns[0], pairs.columns[1]).alias("a"),
-            F.greatest(pairs.columns[0], pairs.columns[1]).alias("b"),
-        ).distinct()
+
+    def _verify(want: DataFrame) -> DataFrame:
+        # candidate-scoped exact verify: per-pair array_intersect on the
+        # two full shingle arrays — O(|pairs|) rows, no inverted-index
+        # fan-out regardless of shingle skew
         out = (
             want.join(sh.select(F.col("id").alias("a"), F.col("shingles").alias("sha")), "a")
             .join(sh.select(F.col("id").alias("b"), F.col("shingles").alias("shb")), "b")
@@ -168,8 +168,54 @@ def ngram_jaccard_pairs(
             )
         )
         return out.filter(F.col("jaccard") >= threshold)
-    sizes = sh.select("id", F.size("shingles").alias("sz"))
+
+    if pairs is not None:
+        return _verify(
+            pairs.select(
+                F.least(pairs.columns[0], pairs.columns[1]).alias("a"),
+                F.greatest(pairs.columns[0], pairs.columns[1]).alias("b"),
+            ).distinct()
+        )
+
     ex = sh.select("id", F.explode("shingles").alias("g"))
+    if threshold > 0.0:
+        # Exact prefix-filtered all-pairs (Bayardo/Ma/Srikant, "Scaling
+        # Up All Pairs Similarity Search", WWW'07): under one global
+        # shingle order, any pair with Jaccard >= t shares an element
+        # inside both docs' first |s| - ceil(t*|s|) + 1 shingles (the
+        # smallest common element has at most |s| - ceil(t*|s|) rarer
+        # non-common elements before it, since overlap >= ceil(t*|s|)).
+        # Ordering by ascending document frequency puts the RAREST
+        # shingles in the prefix, so hot shingles — the quadratic
+        # fan-out risk of a plain inverted-index self-join — are
+        # excluded from the index for almost every document. The 1e-9
+        # slack guards float rounding of t*|s| upward at exact-integer
+        # products (a too-long prefix is harmless, a too-short one
+        # drops pairs).
+        freq = ex.groupBy("g").agg(F.count("*").alias("df_g"))
+        ordered = (
+            ex.join(freq, "g")
+            .groupBy("id")
+            .agg(F.array_sort(F.collect_list(F.struct("df_g", "g"))).alias("s"))
+        )
+        plen = (
+            F.size("s") - F.ceil(F.lit(threshold) * F.size("s") - F.lit(1e-9)) + 1
+        ).cast("int")
+        idx = ordered.select(
+            "id", F.explode(F.slice("s", F.lit(1), plen)).alias("p")
+        ).select("id", F.col("p.g").alias("g"))
+        cand = (
+            idx.select(F.col("id").alias("a"), "g")
+            .join(idx.select(F.col("id").alias("b"), "g"), "g")
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .distinct()
+        )
+        return _verify(cand)
+
+    # threshold == 0: every co-shingled pair is in the answer, so the
+    # full inverted-index join IS the output size — no filter to exploit
+    sizes = sh.select("id", F.size("shingles").alias("sz"))
     inter = (
         ex.select(F.col("id").alias("a"), "g")
         .join(ex.select(F.col("id").alias("b"), "g"), "g")

@@ -896,11 +896,18 @@ def q_doc_dup_clusters(spark, sf_dir):
     downstream). Composes functions/dedup.py with operators/wcc.py in
     one declarative plan; both stages are the sub-quadratic forms
     (banded LSH candidates, pointer-jumping WCC)."""
+    from .plans.lineage import truncate_plan
+
     docs = _read(spark, sf_dir, "documents")
     pairs = minhash_dedup_pairs(docs, threshold=0.5, hash_fn="md5_60")
     edges = pairs.select(
         F.col("a").alias("src"), F.col("b").alias("dst"), F.lit(1.0).alias("weight")
     )
+    # Materialize the (tiny) verified pair list exactly once: WCC reads
+    # its edge input at least twice (vertex count + persisted edge cache),
+    # and without truncation each read re-runs the full 64-hash MinHash
+    # scan over the corpus — at sf0.1 that doubled the query's wall time.
+    edges = truncate_plan(edges)
     G = Graph(edges, directed=False, weighted=False)
     return weakly_connected_components(G).select(
         F.col("vertex").alias("doc_id"), F.col("labels").alias("cluster")

@@ -130,6 +130,31 @@ def test_ngram_jaccard_exact_value(spark):
     assert len(got) == 1 and abs(got[0]["jaccard"] - 3 / 5) < 1e-12
 
 
+def test_ngram_prefix_filter_matches_full_join(spark):
+    # prefix filtering (threshold > 0 path) must be lossless vs the
+    # plain inverted-index join — same pairs, same jaccard values
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(5, 40))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.1, 0.2, 0.5, 0.8):
+        fast = {
+            (r["a"], r["b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(df, n=2, threshold=t).collect()
+        }
+        slow = {
+            (r["a"], r["b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(df, n=2, threshold=0.0).collect()
+            if r["jaccard"] >= t
+        }
+        assert fast == slow, f"threshold={t}"
+
+
 def test_simhash_near_duplicates(spark, docs):
     h = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
     assert h[1] == h[6]
