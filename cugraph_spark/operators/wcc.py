@@ -50,6 +50,7 @@ def weakly_connected_components(
     checkpoint_every: int = 5,
     resume: bool = False,
     check_every: int = 1,
+    superstep_seconds: list | None = None,
 ) -> DataFrame:
     """Returns DataFrame ``[vertex, labels]`` (reference column name,
     connectivity.py:102-200); ``labels`` = min vertex id in the
@@ -91,7 +92,10 @@ def weakly_connected_components(
             .transform(truncate_plan)
         )
 
+    import time as _time
+
     V = G.number_of_vertices()
+    _t0 = _time.perf_counter()
     for it in range(start_iter, max_iter):
         checking = (it + 1) % check_every == 0 or it == max_iter - 1
         # hash-min over neighbors (isolated vertices keep their own label)
@@ -144,6 +148,12 @@ def weakly_connected_components(
             )
             .first()["c"]
         )
+        if superstep_seconds is not None:
+            # wall of the checking action (covers the k batched lazy
+            # supersteps since the previous check) — same contract as
+            # pagerank's chained-mode superstep_seconds
+            superstep_seconds.append(_time.perf_counter() - _t0)
+            _t0 = _time.perf_counter()
         state = jumped.select("vertex", "labels")
 
         if checkpoint is not None and checkpoint_every and (it + 1) % checkpoint_every == 0:

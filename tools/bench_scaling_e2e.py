@@ -1,0 +1,117 @@
+"""Two-parallelism scaling harness for the END-TO-END metrics of the
+north rule: WCC and triangle-count wall-time (BASELINE.json names
+"end-to-end WCC/triangle-count wall-time" alongside the per-superstep
+PageRank throughput that tools/bench_scaling.py measures).
+
+Identical job + identical seeded RMAT input at local[N] and local[4N];
+the timed section is the algorithm only — edge generation, symmetrize
+(for WCC) and the persist/count that fills the cache happen before the
+clock starts, because on a real cluster the input would already be a
+bucketed table (sources/bucketed.py pays that shuffle at write time).
+Each side runs ``reps`` times in one JVM; the MINIMUM wall is the
+noise-robust estimator (an execution cannot run faster than its true
+cost; medians absorb host-noise spikes poorly at rep counts this low —
+see BENCH/BASELINE.md's per-superstep noise analysis).
+
+efficiency = (wall_A / wall_B) / (cores_B / cores_A)
+
+Usage: python tools/bench_scaling_e2e.py [N] [wcc_scale] [tc_scale] [reps]
+       (defaults: N=8, wcc_scale=20, tc_scale=18, reps=2; edgefactor 16,
+        Graph500 a/b/c, seed 42 — same input family as bench_scaling.py)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parents[1]
+
+WORKER = r"""
+import sys, time, json
+sys.path.insert(0, {root!r})
+from cugraph_spark.session import get_spark
+from cugraph_spark.sources.rmat import rmat_edges
+from cugraph_spark.graph import Graph, symmetrize
+from cugraph_spark.operators.wcc import weakly_connected_components
+from cugraph_spark.operators.triangle_count import triangle_count
+
+spark = get_spark(app_name="bench_scaling_e2e")
+out = {{}}
+
+# --- WCC: symmetrized undirected graph, full convergence ---
+e = rmat_edges(spark, scale={wcc_scale}, edgefactor=16, seed=42)
+se = symmetrize(e).persist()
+n_wcc = se.count()  # fills the cache before the clock starts
+Gw = Graph(se, directed=False, weighted=True)
+walls = []
+for _ in range({reps}):
+    t0 = time.perf_counter()
+    weakly_connected_components(Gw, check_every=2).count()
+    walls.append(time.perf_counter() - t0)
+out["wcc"] = {{"n_edges": n_wcc, "walls": walls, "min_wall": min(walls)}}
+se.unpersist()
+
+# --- Triangle count: per-vertex counts, full graph ---
+e2 = rmat_edges(spark, scale={tc_scale}, edgefactor=16, seed=42).persist()
+n_tc = e2.count()
+Gt = Graph(e2, directed=False, weighted=True)
+walls = []
+for _ in range({reps}):
+    t0 = time.perf_counter()
+    triangle_count(Gt).count()
+    walls.append(time.perf_counter() - t0)
+out["tc"] = {{"n_edges": n_tc, "walls": walls, "min_wall": min(walls)}}
+
+print("BENCHJSON " + json.dumps(out))
+"""
+
+
+def run_worker(cpus: int, wcc_scale: int, tc_scale: int, reps: int) -> dict:
+    env = dict(os.environ)
+    env["SPARK_GRAFT_CPUS"] = str(cpus)
+    env.setdefault("SPARK_DRIVER_MEMORY", "48g")
+    code = WORKER.format(root=str(ROOT), wcc_scale=wcc_scale, tc_scale=tc_scale, reps=reps)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        env=env, timeout=5400,
+    )
+    for line in out.stdout.splitlines():
+        if "BENCHJSON" in line:
+            return json.loads(line.split("BENCHJSON ", 1)[1])
+    raise RuntimeError(f"no result; stderr tail: {out.stderr[-2000:]}")
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    wcc_scale = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    tc_scale = int(sys.argv[3]) if len(sys.argv) > 3 else 18
+    reps = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+
+    a = run_worker(n, wcc_scale, tc_scale, reps)
+    b = run_worker(4 * n, wcc_scale, tc_scale, reps)
+
+    report = {"cores_A": n, "cores_B": 4 * n}
+    for algo, scale in (("wcc", wcc_scale), ("tc", tc_scale)):
+        eff = (a[algo]["min_wall"] / b[algo]["min_wall"]) / 4.0
+        report[algo] = {
+            "input": f"rmat scale={scale} edgefactor=16 ({a[algo]['n_edges']} edges"
+                     + (", symmetrized" if algo == "wcc" else "") + ")",
+            "wall_A_min": round(a[algo]["min_wall"], 2),
+            "wall_B_min": round(b[algo]["min_wall"], 2),
+            "walls_A": [round(t, 2) for t in a[algo]["walls"]],
+            "walls_B": [round(t, 2) for t in b[algo]["walls"]],
+            "scaling_efficiency": round(eff, 3),
+        }
+    print(json.dumps(report, indent=2))
+
+    ledger = ROOT / "BENCH" / "e2e_scaling.jsonl"
+    with open(ledger, "a") as f:
+        f.write(json.dumps(report) + "\n")
+
+
+if __name__ == "__main__":
+    main()
