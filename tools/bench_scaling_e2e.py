@@ -47,12 +47,15 @@ e = rmat_edges(spark, scale={wcc_scale}, edgefactor=16, seed=42)
 se = symmetrize(e).persist()
 n_wcc = se.count()  # fills the cache before the clock starts
 Gw = Graph(se, directed=False, weighted=True)
-walls = []
+walls, steps = [], []
 for _ in range({reps}):
+    ss = []
     t0 = time.perf_counter()
-    weakly_connected_components(Gw, check_every=2).count()
+    weakly_connected_components(Gw, check_every=2, superstep_seconds=ss).count()
     walls.append(time.perf_counter() - t0)
-out["wcc"] = {{"n_edges": n_wcc, "walls": walls, "min_wall": min(walls)}}
+    steps.append([round(s, 2) for s in ss])
+out["wcc"] = {{"n_edges": n_wcc, "walls": walls, "min_wall": min(walls),
+               "superstep_walls": steps}}
 se.unpersist()
 
 # --- Triangle count: per-vertex counts, full graph ---
@@ -106,6 +109,9 @@ def main():
             "walls_B": [round(t, 2) for t in b[algo]["walls"]],
             "scaling_efficiency": round(eff, 3),
         }
+        if "superstep_walls" in a[algo]:
+            report[algo]["superstep_walls_A"] = a[algo]["superstep_walls"]
+            report[algo]["superstep_walls_B"] = b[algo]["superstep_walls"]
     print(json.dumps(report, indent=2))
 
     ledger = ROOT / "BENCH" / "e2e_scaling.jsonl"
