@@ -180,6 +180,11 @@ class Graph:
     symmetrized directed edge list (§1.4 of SURVEY.md).
     """
 
+    # class-level defaults so Graph.__new__-built views (induced_subgraph,
+    # reverse, community._as_graph) are safe without re-running __init__
+    pre_partitioned = False
+    _nv_cache = None
+
     def __init__(
         self,
         edges: DataFrame,
@@ -359,7 +364,19 @@ class Graph:
         )
 
     def number_of_vertices(self) -> int:
-        return self.vertices().count()
+        """Memoized per edge-DataFrame: V is renumber/table metadata on a
+        real deployment, not something to re-derive with a full distinct
+        over E for every operator call (the distinct over a scale-22
+        edge list costs more than all WCC supersteps combined — see
+        BENCH/e2e_scaling.jsonl superstep_walls). Keyed on the edges
+        object identity so `g.edges = ...` rebinds invalidate it; the
+        cache tuple holds the DataFrame ref, so the id cannot be
+        recycled while cached."""
+        cache = self._nv_cache
+        if cache is None or cache[0] is not self.edges:
+            cache = (self.edges, self.vertices().count())
+            self._nv_cache = cache
+        return cache[1]
 
     def number_of_edges(self) -> int:
         n = self.edges.count()

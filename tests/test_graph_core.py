@@ -112,3 +112,22 @@ def test_introspection(spark):
     Gu = Graph(df, directed=False)
     assert Gu.number_of_edges() == 2
     assert Gu.has_edge(1, 0)
+
+
+def test_vertex_count_memoized_and_invalidated(spark):
+    df = edges_df(spark, [(0, 1, 1.0), (1, 2, 1.0)])
+    G = Graph(df, directed=True)
+    assert G.number_of_vertices() == 3
+    # memoized: second call returns the cached count for the same edges
+    assert G._nv_cache is not None and G._nv_cache[1] == 3
+    assert G.number_of_vertices() == 3
+    # rebinding edges (community._as_graph / mst negation style) invalidates
+    G.edges = edges_df(spark, [(0, 1, 1.0)])
+    assert G.number_of_vertices() == 2
+    # __new__-built views (induced_subgraph/reverse) start with the
+    # class-level defaults, not a stale instance cache
+    H = Graph.__new__(Graph)
+    H.edges = edges_df(spark, [(5, 6, 1.0), (6, 7, 1.0), (7, 8, 1.0)])
+    H.directed = True
+    assert H.pre_partitioned is False
+    assert H.number_of_vertices() == 4
