@@ -51,6 +51,7 @@ def weakly_connected_components(
     resume: bool = False,
     check_every: int = 1,
     superstep_seconds: list | None = None,
+    min_iter: int = 0,
 ) -> DataFrame:
     """Returns DataFrame ``[vertex, labels]`` (reference column name,
     connectivity.py:102-200); ``labels`` = min vertex id in the
@@ -62,7 +63,14 @@ def weakly_connected_components(
     and execute inside the next checking superstep's action. A stable
     labeling is a fixpoint of hash-min + pointer-jump, so overshooting
     convergence by up to k−1 supersteps returns identical labels
-    (same batching contract as label_propagation's ``check_every``)."""
+    (same batching contract as label_propagation's ``check_every``).
+
+    ``min_iter=k`` keeps iterating through at least k supersteps even
+    after the labeling stabilizes (a stable labeling is a fixpoint, so
+    the extra supersteps run the identical O(E) plan and return
+    identical labels). Used by the scaling bench to collect
+    steady-state per-superstep walls on low-diameter graphs that
+    converge in 2-3 rounds."""
     if G.directed:
         raise ValueError(
             "weakly_connected_components requires an undirected (symmetrized) "
@@ -161,7 +169,7 @@ def weakly_connected_components(
                 state.select("vertex", "labels"), it, {"changed": int(changed)}
             )
 
-        if changed == 0:
+        if changed == 0 and (it + 1) >= min_iter:
             break
 
     edges.unpersist()

@@ -45,6 +45,24 @@ def test_wcc_self_loops_ok(spark):
     assert got == {v: int(ref[v]) for v in sorted(got)}
 
 
+def test_wcc_min_iter_identical(spark):
+    """min_iter forces extra supersteps past the fixpoint (the scaling
+    bench's steady-state sampling mode); labels must be unchanged and
+    the superstep walls must show the forced rounds actually ran."""
+    for kind in ("tiny_social", "disjoint", "hub"):
+        edges = make_edges(kind)
+        G = Graph(edges_df(spark, edges), directed=False)
+        a = _as_map(weakly_connected_components(G).collect())
+        walls: list[float] = []
+        b = _as_map(
+            weakly_connected_components(
+                G, min_iter=6, superstep_seconds=walls
+            ).collect()
+        )
+        assert a == b, kind
+        assert len(walls) == 6, kind
+
+
 @pytest.mark.parametrize("kind", ["tiny_social", "weighted", "disjoint"])
 def test_lpa_matches_oracle(spark, kind):
     edges = make_edges(kind)
