@@ -92,5 +92,41 @@ from .utilities import (  # noqa: F401
     ensure_graph_obj,
     harmonize_scores,
 )
+from .graph import (  # noqa: F401
+    BiPartiteGraph,
+    MultiGraph,
+    NPartiteGraph,
+    Tree,
+)
+from . import exceptions  # noqa: F401
+from .compat import (  # noqa: F401
+    analyzeClustering_edge_cut,
+    analyzeClustering_modularity,
+    analyzeClustering_ratio_cut,
+    from_adjlist,
+    from_cudf_edgelist,
+    from_edgelist,
+    from_numpy_array,
+    from_numpy_matrix,
+    from_pandas_adjacency,
+    from_pandas_edgelist,
+    induced_subgraph,
+    is_bipartite,
+    is_directed,
+    is_multigraph,
+    is_multipartite,
+    is_weighted,
+    node2vec,
+    spectralBalancedCutClustering,
+    spectralModularityMaximizationClustering,
+    subgraph,
+    to_numpy_array,
+    to_numpy_matrix,
+    to_pandas_adjacency,
+    to_pandas_edgelist,
+)
+
+# dask-alias spelling of the symmetrize helper (cugraph symmetrize_ddf)
+symmetrize_ddf = symmetrize_df
 
 __version__ = "0.1.0"

@@ -488,3 +488,70 @@ class Graph:
         g.weighted = self.weighted
         g.mapping = self.mapping
         return g
+
+
+class MultiGraph(Graph):
+    """cugraph ``MultiGraph`` (graph_classes.py:793-821): parallel edges
+    are retained (``multi_edge=True`` forced); ``density`` is undefined
+    (raises TypeError, mirroring the reference's contract)."""
+
+    def __init__(self, edges: DataFrame, directed: bool = False, **kw):
+        kw["multi_edge"] = True
+        super().__init__(edges, directed=directed, **kw)
+
+    def is_multigraph(self) -> bool:
+        return True
+
+    def density(self) -> float:
+        raise TypeError("The density function is not supported on a MultiGraph.")
+
+
+class Tree(Graph):
+    """cugraph ``Tree`` (graph_classes.py:823-830) — a Graph flagged as
+    a tree; the flag is advisory metadata, as in the reference."""
+
+    def __init__(self, edges: DataFrame, directed: bool = False, **kw):
+        super().__init__(edges, directed=directed, **kw)
+        self.tree = True
+
+
+class NPartiteGraph(Graph):
+    """cugraph ``NPartiteGraph`` (graph_classes.py:833-1004): partition
+    membership is user-declared via ``add_nodes_from(bipartite=...)``
+    (the reference does not verify partiteness either — its
+    ``is_bipartite`` 'solely relies on the user call')."""
+
+    def __init__(self, edges: DataFrame, directed: bool = False,
+                 bipartite: bool = False, **kw):
+        super().__init__(edges, directed=directed, **kw)
+        self._bipartite = bipartite
+        self._partitions: dict[str, DataFrame] = {}
+
+    def add_nodes_from(self, nodes, bipartite: str | None = None) -> None:
+        """Declare a named vertex partition; ``nodes`` is a DataFrame
+        with a ``vertex`` column or a python sequence of ids."""
+        if bipartite is None:
+            return
+        if not isinstance(nodes, DataFrame):
+            nodes = self.edges.sparkSession.createDataFrame(
+                [(int(v),) for v in nodes], schema="vertex long"
+            )
+        self._partitions[str(bipartite)] = nodes.select("vertex")
+
+    def sets(self) -> dict[str, DataFrame]:
+        """The declared partitions (reference ``sets()``)."""
+        return dict(self._partitions)
+
+    def is_bipartite(self) -> bool:
+        return self._bipartite
+
+    def is_multipartite(self) -> bool:
+        return True
+
+
+class BiPartiteGraph(NPartiteGraph):
+    """cugraph ``BiPartiteGraph`` (graph_classes.py:1006-1020)."""
+
+    def __init__(self, edges: DataFrame, directed: bool = False, **kw):
+        kw["bipartite"] = True
+        super().__init__(edges, directed=directed, **kw)

@@ -213,3 +213,91 @@ def test_bfs_edges_alias(spark):
         bfs_edges(G, 0, reverse=True)
     with pytest.raises(NotImplementedError):
         bfs_edges(G, 0, sort_neighbors=lambda x: x)
+
+
+def test_module_level_compat_surface(spark):
+    """Reference-spelled module-level exports (cugraph/__init__.py):
+    a reference user's `import cugraph` call sites keep working with
+    `import cugraph_spark as cugraph`."""
+    import pandas as pd
+
+    import cugraph_spark as cg
+
+    pdf = pd.DataFrame({"u": [0, 1, 2], "v": [1, 2, 0], "w": [1.0, 2.0, 3.0]})
+    G = cg.from_pandas_edgelist(pdf, source="u", destination="v", edge_attr="w")
+    assert cg.is_directed(G) and cg.is_weighted(G)
+    assert not cg.is_multigraph(G) and not cg.is_bipartite(G)
+    out = cg.to_pandas_edgelist(G, source="u", destination="v")
+    assert set(out.columns) >= {"u", "v"} and len(out) == 3
+
+    # free-function subgraph over a sequence of ids
+    H = cg.induced_subgraph(G, [0, 1])
+    assert H.number_of_edges() == 1
+    assert cg.subgraph is cg.induced_subgraph
+
+    # from_edgelist accepts a Spark DataFrame too
+    sdf = spark.createDataFrame(pdf)
+    G2 = cg.from_edgelist(sdf, source="u", destination="v", edge_attr="w")
+    assert G2.number_of_edges() == 3
+    assert cg.from_cudf_edgelist is cg.from_edgelist
+
+    # adjacency converters
+    A = cg.to_numpy_array(G)
+    G3 = cg.from_numpy_array(A)
+    assert G3.number_of_edges() == 3
+    assert cg.to_numpy_matrix is cg.to_numpy_array
+
+    # exceptions module path
+    from cugraph_spark.exceptions import FailedToConvergeError
+
+    assert issubclass(FailedToConvergeError, RuntimeError)
+
+    # camelCase spectral spellings are the snake_case callables
+    assert cg.spectralBalancedCutClustering is cg.spectral_clustering
+    assert cg.analyzeClustering_modularity is cg.analyze_clustering_modularity
+    assert cg.symmetrize_ddf is cg.symmetrize_df
+
+
+def test_graph_class_variants(spark):
+    import cugraph_spark as cg
+
+    e = spark.createDataFrame(
+        [(0, 1, 1.0), (0, 1, 2.0), (1, 2, 1.0)],
+        "src long, dst long, weight double",
+    )
+    M = cg.MultiGraph(e, directed=True)
+    assert M.is_multigraph()
+    assert M.number_of_edges() == 3  # parallel edge retained
+    try:
+        M.density()
+        assert False, "density must raise on MultiGraph"
+    except TypeError:
+        pass
+
+    T = cg.Tree(e.dropDuplicates(["src", "dst"]), directed=True)
+    assert T.tree and not T.is_multigraph()
+
+    B = cg.BiPartiteGraph(e, directed=False)
+    assert B.is_bipartite() and B.is_multipartite()
+    B.add_nodes_from([0, 1], bipartite="top")
+    B.add_nodes_from([2], bipartite="bottom")
+    sets = B.sets()
+    assert {r["vertex"] for r in sets["top"].collect()} == {0, 1}
+    assert cg.is_multipartite(B) and cg.is_bipartite(B)
+
+    N = cg.NPartiteGraph(e, directed=False)
+    assert N.is_multipartite() and not N.is_bipartite()
+
+
+def test_node2vec_module_spelling(spark):
+    import cugraph_spark as cg
+
+    e = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0), (2, 0, 1.0)],
+        "src long, dst long, weight double",
+    )
+    G = Graph(e, directed=False, weighted=True)
+    walks = cg.node2vec(G, [0, 1], max_depth=3, p=0.5, q=2.0)
+    rows = walks.collect()
+    assert {r["step"] for r in rows} <= {0, 1, 2, 3}
+    assert len({r["walk_id"] for r in rows}) == 2
