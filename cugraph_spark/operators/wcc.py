@@ -82,19 +82,50 @@ def weakly_connected_components(
     P = resolve_partitions(num_partitions, G.edges)
 
     e = G.edges.select(SRC, DST).filter(F.col(SRC) != F.col(DST))
-    if not G.pre_partitioned:  # select/filter preserve a bucketed layout
+    # Compact vertex ids to int32 when they fit — the reference's own
+    # narrow-id rule (vertex ids are int32 OR int64, chosen by range:
+    # simpleGraph.py:253-258, renumber_edgelist_impl.cuh). The WCC
+    # superstep is pure streaming (min over ids, no arithmetic), so at
+    # high parallelism it is memory-bandwidth-bound; halving the bytes
+    # per edge directly raises the superstep throughput ceiling. The
+    # one bounds-check scan happens pre-loop on the un-persisted input;
+    # output labels are cast back to long (schema unchanged).
+    bounds = e.agg(
+        F.min(F.least(SRC, DST)).alias("lo"),
+        F.max(F.greatest(SRC, DST)).alias("hi"),
+    ).first()
+    compact = (
+        bounds["hi"] is not None
+        and bounds["lo"] > -(2**31)
+        and bounds["hi"] < 2**31 - 1
+    )
+    if compact:
+        e = e.select(
+            F.col(SRC).cast("int").alias(SRC),
+            F.col(DST).cast("int").alias(DST),
+        )
+    if not G.pre_partitioned or compact:  # select/filter preserve a bucketed layout
         e = e.repartition(P, SRC)
     edges = e.persist(StorageLevel.MEMORY_AND_DISK)
+    id_t = "int" if compact else "long"
 
     start_iter = 0
     if resume and checkpoint is not None and checkpoint.latest_iteration() is not None:
         it0 = checkpoint.latest_iteration()
         saved, meta = checkpoint.load(spark, it0)
-        state = saved.repartition(P, "vertex").transform(truncate_plan)
+        state = (
+            saved.select(
+                F.col("vertex").cast(id_t).alias("vertex"),
+                F.col("labels").cast(id_t).alias("labels"),
+            )
+            .repartition(P, "vertex")
+            .transform(truncate_plan)
+        )
         start_iter = meta["iteration"] + 1
     else:
         state = (
             G.vertices()
+            .select(F.col("vertex").cast(id_t).alias("vertex"))
             .withColumn("labels", F.col("vertex"))
             .repartition(P, "vertex")
             .transform(truncate_plan)
@@ -173,7 +204,10 @@ def weakly_connected_components(
             break
 
     edges.unpersist()
-    return state.select("vertex", "labels")
+    return state.select(
+        F.col("vertex").cast("long").alias("vertex"),
+        F.col("labels").cast("long").alias("labels"),
+    )
 
 
 def connected_components(G: Graph, connection: str = "weak", **kw) -> DataFrame:
