@@ -127,3 +127,19 @@ def test_total_triangles_is_sum_over_three(spark):
     G = Graph(edges_df(spark, edges), directed=False)
     counts = np.array([r["counts"] for r in triangle_count(G).collect()])
     assert counts.sum() % 3 == 0
+
+
+def test_wcc_large_ids_use_long_path(spark):
+    """Vertex ids beyond int32 range must skip the narrow-id compaction
+    and still produce correct min-id labels (the compact branch is
+    bounds-checked, simpleGraph.py:253-258 analog)."""
+    big = 5_000_000_000  # > 2^31 - 1
+    rows = [(big, big + 1, 1.0), (big + 1, big + 2, 1.0), (7, 8, 1.0)]
+    df = spark.createDataFrame(rows, "src long, dst long, weight double")
+    G = Graph(df, directed=False)
+    got = _as_map(weakly_connected_components(G).collect())
+    assert got[big] == big and got[big + 1] == big and got[big + 2] == big
+    assert got[7] == 7 and got[8] == 7
+    # output schema stays long either way
+    out = weakly_connected_components(G)
+    assert dict(out.dtypes) == {"vertex": "bigint", "labels": "bigint"}
