@@ -69,12 +69,31 @@ def _prune_low_degree(und: DataFrame, rounds: int) -> DataFrame:
 
 
 def _oriented_edges(G: Graph, prune_rounds: int = 0) -> DataFrame:
-    """Undirected simple edges oriented low-(degree,id) → high."""
-    und = (
-        G.edges.select(SRC, DST)
-        .filter(F.col(SRC) < F.col(DST))  # one row per undirected edge
-        .distinct()
-    )
+    """Undirected simple edges oriented low-(degree,id) → high.
+
+    Vertex ids are compacted to int32 when they fit (the reference's
+    own narrow-id rule, simpleGraph.py:253-258): the whole TC pipeline
+    is pure id streaming — dedup, degree agg, two joins, the 3-way
+    self-join, a corner groupBy — so halving the key width halves the
+    bytes every one of those shuffles and probes moves. Callers cast
+    the final vertex columns back to long (output schema unchanged).
+    One pre-scan bounds agg (column-pruned, before the distinct) pays
+    for itself many times over at any real size."""
+    pre = G.edges.select(SRC, DST).filter(F.col(SRC) < F.col(DST))
+    bounds = pre.agg(
+        F.min(F.least(SRC, DST)).alias("lo"),
+        F.max(F.greatest(SRC, DST)).alias("hi"),
+    ).first()
+    if (
+        bounds["hi"] is not None
+        and bounds["lo"] > -(2**31)
+        and bounds["hi"] < 2**31 - 1
+    ):
+        pre = pre.select(
+            F.col(SRC).cast("int").alias(SRC),
+            F.col(DST).cast("int").alias(DST),
+        )
+    und = pre.distinct()
     if prune_rounds:
         und = _prune_low_degree(und, prune_rounds)
     deg = (
@@ -119,7 +138,11 @@ def triangle_count(
         .unionByName(tri.select(F.col("v").alias("vertex")))
         .unionByName(tri.select(F.col("w").alias("vertex")))
     )
-    counts = corners.groupBy("vertex").agg(F.count("*").alias("counts"))
+    counts = (
+        corners.groupBy("vertex")
+        .agg(F.count("*").alias("counts"))
+        .select(F.col("vertex").cast("long").alias("vertex"), "counts")
+    )
 
     result = (
         G.vertices()
@@ -154,7 +177,11 @@ def edge_triangle_count(G: Graph) -> DataFrame:
             F.least("a", "b").alias(SRC), F.greatest("a", "b").alias(DST)
         )
     )
-    counts = sides.groupBy(SRC, DST).agg(F.count("*").alias("counts"))
+    counts = sides.groupBy(SRC, DST).agg(F.count("*").alias("counts")).select(
+        F.col(SRC).cast("long").alias(SRC),
+        F.col(DST).cast("long").alias(DST),
+        "counts",
+    )
     und = G.edges.select(SRC, DST).filter(F.col(SRC) < F.col(DST)).distinct()
     out = und.join(counts, [SRC, DST], "left").select(
         SRC, DST, F.coalesce("counts", F.lit(0)).cast("long").alias("counts")
