@@ -8,8 +8,10 @@ vertex id) so results are exactly reproducible at any parallelism:
 - round: v joins the MIS iff its priority is a local minimum among
   still-active neighbors; selected vertices and their neighbors
   deactivate; repeat until no active vertices. O(log V) rounds w.h.p.
-- coloring: repeated MIS over the residual graph; color = round index
-  (the reference's coloring is likewise MIS-round based).
+- coloring: Jones–Plassmann greedy over the same local-min rounds —
+  each round's independent set takes the mex of its colored neighbors
+  (the reference's coloring is likewise MIS-round based; ours fuses
+  all colors into one O(log V)-round loop).
 """
 
 from __future__ import annotations
@@ -80,38 +82,101 @@ def maximal_independent_set(
 def vertex_coloring(
     G: Graph, seed: int = 42, max_colors: int = 200
 ) -> DataFrame:
-    """Greedy MIS-round coloring: [vertex, color] (0-based), proper —
-    no edge joins two vertices of the same color."""
-    edges_all = _sym_edges(G).persist(StorageLevel.MEMORY_AND_DISK)
-    remaining_v = G.vertices().transform(truncate_plan)
-    remaining_e = edges_all
-    out = None
+    """Jones–Plassmann greedy coloring: [vertex, color] (0-based),
+    proper — no edge joins two vertices of the same color.
 
-    for color in range(max_colors):
-        if remaining_v.isEmpty():
+    Matches the reference's contract (``vertex_coloring_impl.cuh``:
+    MIS-round selection, proper-coloring output) with a tighter Spark
+    shape: every round selects the priority-local-minima among
+    *uncolored* vertices (an independent set, exactly one Luby round)
+    and assigns each the smallest color unused by its already-colored
+    neighbors (greedy mex, ≤ Δ+1 colors). All colors are assigned in
+    ONE loop of O(log V) expected rounds with a single driver action
+    per round — the round-1 shape re-ran a full multi-round MIS per
+    color (driver actions = colors × MIS-rounds), a latency cliff on
+    wide-chromatic graphs. Deterministic at any parallelism: counter-
+    based priorities ``xxhash64(vertex, round, seed)``, ties by id.
+    """
+    edges = _sym_edges(G).persist(StorageLevel.MEMORY_AND_DISK)
+    active = G.vertices().transform(truncate_plan)
+    colored = None  # (vertex, color)
+
+    for rnd in range(max_colors):
+        if active.isEmpty():
             break
-        g = Graph.__new__(Graph)
-        g.edges = remaining_e.withColumn("weight", F.lit(1.0))
-        g.directed = False
-        g.weighted = False
-        g.mapping = None
-        # restrict MIS to remaining vertices: isolated remaining
-        # vertices (no remaining edges) are all selected this round
-        mis = maximal_independent_set(g, seed=seed + color)
-        mis_v = mis.filter(F.col("in_mis")).select("vertex")
-        iso = remaining_v.join(
-            g.vertices(), "vertex", "left_anti"
-        )  # vertices with no remaining edges
-        sel = mis_v.unionByName(iso).distinct().transform(truncate_plan)
-        colored = sel.withColumn("color", F.lit(color))
-        out = colored if out is None else out.unionByName(colored)
-        out = out.transform(truncate_plan)
-        remaining_v = remaining_v.join(sel, "vertex", "left_anti").transform(truncate_plan)
-        remaining_e = (
-            remaining_e.join(sel.withColumnRenamed("vertex", SRC), SRC, "left_anti")
-            .join(sel.withColumnRenamed("vertex", DST), DST, "left_anti")
+        pri = active.select(
+            "vertex",
+            F.struct(
+                F.xxhash64(F.col("vertex"), F.lit(rnd), F.lit(seed)).alias("h"),
+                F.col("vertex").alias("v"),
+            ).alias("pri"),
+        ).transform(truncate_plan)
+        # local minima among still-active neighbors (independent set;
+        # isolated-or-fully-colored-neighborhood vertices select too)
+        act_e = (
+            edges.join(pri.withColumnRenamed("vertex", SRC), SRC)
+            .join(active.withColumnRenamed("vertex", DST), DST, "left_semi")
+        )
+        nbr_min = act_e.groupBy(DST).agg(F.min("pri").alias("nm"))
+        sel = (
+            pri.join(nbr_min, pri["vertex"] == nbr_min[DST], "left")
+            .filter(F.col("nm").isNull() | (pri["pri"] < F.col("nm")))
+            .select(pri["vertex"])
             .transform(truncate_plan)
         )
+        # greedy mex over already-colored neighbors' colors; selected
+        # vertices are pairwise non-adjacent so same-round assignments
+        # can never conflict
+        if colored is None:
+            batch = sel.withColumn("color", F.lit(0))
+        else:
+            used = (
+                edges.join(sel.withColumnRenamed("vertex", SRC), SRC, "left_semi")
+                .join(
+                    colored.withColumnRenamed("vertex", DST).withColumnRenamed(
+                        "color", "nc"
+                    ),
+                    DST,
+                )
+                .groupBy(SRC)
+                .agg(F.array_sort(F.collect_set("nc")).alias("used"))
+                .select(F.col(SRC).alias("vertex"), "used")
+            )
+            batch = (
+                sel.join(used, "vertex", "left")
+                .select(
+                    "vertex",
+                    F.when(F.col("used").isNull(), F.lit(0))
+                    .otherwise(
+                        # smallest k in [0, |used|] missing from the
+                        # sorted used-array; |used|+1 candidates so one
+                        # is always free
+                        F.array_min(
+                            F.filter(
+                                F.sequence(F.lit(0), F.size("used")),
+                                lambda x: ~F.array_contains(F.col("used"), x),
+                            )
+                        )
+                    )
+                    .alias("color"),
+                )
+            )
+        colored = batch if colored is None else colored.unionByName(batch)
+        colored = colored.transform(truncate_plan)
+        active = active.join(sel, "vertex", "left_anti").transform(truncate_plan)
+    else:
+        # loop exhausted — emptiness is checked at the TOP of each
+        # iteration, so re-check before declaring failure (never
+        # return a silently-partial coloring)
+        if not active.isEmpty():
+            raise RuntimeError(
+                f"vertex_coloring did not color all vertices within "
+                f"max_colors={max_colors} rounds; raise max_colors"
+            )
 
-    edges_all.unpersist()
-    return out if out is not None else G.vertices().withColumn("color", F.lit(0))
+    edges.unpersist()
+    return (
+        colored
+        if colored is not None
+        else G.vertices().withColumn("color", F.lit(0))
+    )
