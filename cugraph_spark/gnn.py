@@ -1,0 +1,134 @@
+"""GNN data loading — the reference's ``cugraph.gnn`` surface, Spark-first.
+
+Recreates ``gnn/data_loading/bulk_sampler.py`` (class ``BulkSampler``,
+column conventions ``_START_``/``_BATCH_``, parquet minibatch output
+partitioned by batch range) and the io contract of
+``gnn/data_loading/bulk_sampler_io.py:write_samples``.
+
+Design notes vs the reference:
+
+- The reference loops ``sample_from_nodes`` over ``seeds_per_call``
+  chunks to bound GPU memory, then renumbers batch ids per output
+  partition (its issue #3794 workaround). Spark-first there is no
+  chunk loop: every accumulated batch samples in ONE declarative plan
+  (the batch id rides the per-hop join/window keys — see
+  ``operators/sampling.py:uniform_neighbor_sample_batched``), executor
+  memory is bounded by partitioning, and batch ids are preserved
+  verbatim (no renumber quirk). ``seeds_per_call`` is accepted for API
+  compatibility and ignored.
+- Output: parquet at ``output_path`` partitioned by
+  ``batch_partition = batch_id // batches_per_partition`` with columns
+  [batch_id, src, dst, weight, hop] — the reference's
+  (sources, destinations, hop_id, batch_id) shape plus weight. Batches
+  that sample zero edges are naturally absent (the reference likewise
+  discards empty batches).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .graph import Graph
+from .operators.sampling import uniform_neighbor_sample_batched
+
+
+class BulkSampler:
+    """Accumulate seed batches lazily, sample every batch in one plan
+    on ``flush()``, write minibatches to parquet.
+
+    Parameters mirror the reference (``bulk_sampler.py:52-61``):
+    ``batch_size`` (seeds per batch — informational; batches are defined
+    by the caller's ``_BATCH_`` column), ``output_path``, ``graph``,
+    ``batches_per_partition`` (output layout), plus the sampling knobs
+    ``fanout`` / ``seed`` / ``with_replacement``.
+    """
+
+    start_col_name = "_START_"
+    batch_col_name = "_BATCH_"
+
+    def __init__(
+        self,
+        batch_size: int,
+        output_path: str,
+        graph: Graph,
+        fanout: list[int] | None = None,
+        seed: int = 42,
+        with_replacement: bool = False,
+        seeds_per_call: int = 200_000,  # accepted for API compat; unused
+        batches_per_partition: int = 100,
+        renumber: bool = False,
+    ):
+        if renumber:
+            raise NotImplementedError(
+                "per-partition batch renumbering is the reference's "
+                "issue-#3794 workaround; batch ids are preserved here"
+            )
+        self.batch_size = batch_size
+        self.output_path = output_path
+        self.graph = graph
+        self.fanout = fanout if fanout is not None else [10, 25]
+        self.seed = seed
+        self.with_replacement = with_replacement
+        self.batches_per_partition = batches_per_partition
+        self._pending: DataFrame | None = None
+        self.flush_count = 0
+
+    def add_batches(
+        self,
+        df: DataFrame,
+        start_col_name: str | None = None,
+        batch_col_name: str | None = None,
+    ) -> None:
+        """Enqueue a seed DataFrame (lazy — no job runs until flush).
+        Columns: one vertex column (``_START_``) + one integral batch
+        id column (``_BATCH_``)."""
+        s = start_col_name or self.start_col_name
+        b = batch_col_name or self.batch_col_name
+        norm = df.select(
+            F.col(s).alias(self.start_col_name),
+            F.col(b).cast("long").alias(self.batch_col_name),
+        )
+        self._pending = (
+            norm if self._pending is None else self._pending.unionByName(norm)
+        )
+
+    def sample(self) -> DataFrame:
+        """The flush plan WITHOUT the write — [batch_id, src, dst,
+        weight, hop, batch_partition] for every pending batch."""
+        if self._pending is None:
+            raise ValueError("no batches added")
+        out = uniform_neighbor_sample_batched(
+            self.graph,
+            self._pending,
+            fanout=self.fanout,
+            seed=self.seed,
+            with_replacement=self.with_replacement,
+            start_col=self.start_col_name,
+            batch_col=self.batch_col_name,
+        )
+        return out.withColumn(
+            "batch_partition",
+            (F.col("batch_id") / F.lit(self.batches_per_partition))
+            .cast("long"),
+        )
+
+    def flush(self) -> None:
+        """Sample every pending batch in one plan and append the
+        minibatches to ``output_path`` partitioned by batch range."""
+        if self._pending is None:
+            return
+        write_samples(self.sample(), self.output_path)
+        self._pending = None
+        self.flush_count += 1
+
+
+def write_samples(samples: DataFrame, output_path: str) -> None:
+    """``bulk_sampler_io.write_samples`` analog: one parquet dataset,
+    hive-partitioned by ``batch_partition`` so a training loader reads
+    each batch range as one file group."""
+    (
+        samples.write.mode("append")
+        .partitionBy("batch_partition")
+        .parquet(output_path)
+    )

@@ -252,6 +252,88 @@ def uniform_neighbor_sample(
     )
 
 
+def uniform_neighbor_sample_batched(
+    G: Graph,
+    seeds: DataFrame,
+    fanout: list[int],
+    seed: int = 42,
+    with_replacement: bool = False,
+    start_col: str = "_START_",
+    batch_col: str = "_BATCH_",
+) -> DataFrame:
+    """Batched GNN minibatch sampling — every batch in ONE plan.
+
+    The reference's ``BulkSampler`` (``gnn/data_loading/bulk_sampler.py``)
+    chops seeds into ``seeds_per_call`` chunks and loops sampling calls
+    to bound GPU memory; Spark-first there is no loop — the batch id is
+    carried through the per-hop join/window keys, so all batches sample
+    together in one shuffle per hop and executor memory is bounded by
+    partitioning, not by a driver-side chunk loop.
+
+    Semantics per batch match ``uniform_neighbor_sample``: per hop h,
+    up to ``fanout[h]`` out-edges per frontier vertex, frontiers evolve
+    independently per batch, and every draw is keyed on
+    ``(batch, vertex, hop, seed)`` so batches sample independently and
+    the output is deterministic at any parallelism. Returns
+    [batch_id, src, dst, weight, hop].
+    """
+    edges = G.edges.select(SRC, DST, WGT).persist(StorageLevel.MEMORY_AND_DISK)
+    frontier = seeds.select(
+        F.col(batch_col).cast("long").alias("b"),
+        F.col(start_col).alias("v"),
+    ).distinct()
+    samples = None
+    for hop, k in enumerate(fanout):
+        cand = edges.join(frontier, edges[SRC] == frontier["v"]).select(
+            "b", SRC, DST, WGT
+        )
+        if with_replacement:
+            wd = Window.partitionBy("b", SRC).orderBy(DST)
+            ranked = cand.withColumn("rn", F.row_number().over(wd)).withColumn(
+                "deg", F.count("*").over(Window.partitionBy("b", SRC))
+            )
+            slots = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("slot")
+            picked = (
+                ranked.select("b", SRC, DST, WGT, "rn", "deg", slots)
+                .filter(
+                    F.col("rn") - 1
+                    == F.pmod(
+                        F.xxhash64(
+                            F.col("b"), F.col(SRC), F.lit(hop),
+                            F.col("slot"), F.lit(seed),
+                        ),
+                        F.col("deg"),
+                    )
+                )
+                .select("b", SRC, DST, WGT, F.lit(hop).alias("hop"))
+                .transform(truncate_plan)
+            )
+        else:
+            w = Window.partitionBy("b", SRC).orderBy(
+                F.xxhash64(
+                    F.col("b"), F.col(SRC), F.col(DST), F.lit(hop), F.lit(seed)
+                )
+            )
+            picked = (
+                cand.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= k)
+                .select("b", SRC, DST, WGT, F.lit(hop).alias("hop"))
+                .transform(truncate_plan)
+            )
+        samples = picked if samples is None else samples.unionByName(picked)
+        frontier = picked.select("b", F.col(DST).alias("v")).distinct()
+    edges.unpersist()
+    out = samples if samples is not None else (
+        G.edges.limit(0)
+        .withColumn("b", F.lit(0).cast("long"))
+        .withColumn("hop", F.lit(0))
+        .select("b", SRC, DST, WGT, "hop")
+    )
+    return out.select(
+        F.col("b").alias("batch_id"), SRC, DST, WGT, "hop"
+    )
+
+
 def rw_path(walks: DataFrame) -> DataFrame:
     """Reference ``rw_path`` export (sampling/random_walks.py): convert
     the flat [walk_id, step, vertex] walk rows into one row per walk

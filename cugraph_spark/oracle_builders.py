@@ -531,6 +531,34 @@ FROM starts s JOIN deg d ON s.vertex = d.src
 """
 
 
+def bulk_sample_invariants_sql(
+    edges_sql: str, n_starts: int, per_batch: int, fanout0: int
+) -> str:
+    """Expected per-(batch, source) invariant summary for q_bulk_sample
+    on a bipartite src→sink graph: the first ``n_starts`` vertices
+    split into batches of ``per_batch``; per batch, hop 0 samples
+    exactly min(fanout, out_degree) DISTINCT real out-edges per seed;
+    hop 1 is empty (all sampled dsts are sinks)."""
+    return f"""
+WITH e AS MATERIALIZED ({edges_sql}),
+verts AS MATERIALIZED (SELECT DISTINCT vertex FROM (
+    SELECT src AS vertex FROM e UNION ALL SELECT dst FROM e)),
+starts AS MATERIALIZED (
+    SELECT vertex,
+           CAST((ROW_NUMBER() OVER (ORDER BY vertex) - 1) // {per_batch}
+                AS BIGINT) AS batch_id
+    FROM verts ORDER BY vertex LIMIT {n_starts}),
+deg AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM e GROUP BY src)
+SELECT s.batch_id,
+       s.vertex AS src,
+       0 AS hop,
+       CAST(LEAST({fanout0}, d.d) AS BIGINT) AS n_rows,
+       CAST(LEAST({fanout0}, d.d) AS BIGINT) AS n_distinct,
+       CAST(0 AS BIGINT) AS bad_edges
+FROM starts s JOIN deg d ON s.vertex = d.src
+"""
+
+
 def neighbor_sample_wr_invariants_sql(edges_sql: str, n_starts: int,
                                       fanout0: int) -> str:
     """Expected per-source invariant summary for q_neighbor_sample_wr

@@ -1877,6 +1877,45 @@ def q_neighbor_sample_wr(spark, sf_dir):
     )
 
 
+def q_bulk_sample(spark, sf_dir):
+    """Batched GNN bulk sampling under the gate
+    (gnn/data_loading/bulk_sampler.py analog): the first 16 vertices
+    split into two 8-seed batches, every batch sampled in ONE plan.
+    Invariant summary per (batch_id, src, hop): exactly
+    min(fanout, out_degree) DISTINCT real out-edges per seed per batch
+    (hop 1 empty on this bipartite graph — sampled dsts are sinks)."""
+    from .operators.sampling import uniform_neighbor_sample_batched
+    from pyspark.sql import Window
+
+    e = edges_cs(spark, sf_dir)
+    G = Graph(e, directed=True, weighted=True)
+    starts = G.vertices().orderBy("vertex").limit(16)
+    seeds = starts.select(
+        F.col("vertex").alias("_START_"),
+        ((F.row_number().over(Window.orderBy("vertex")) - 1) / F.lit(8))
+        .cast("long")
+        .alias("_BATCH_"),
+    )
+    s = uniform_neighbor_sample_batched(G, seeds, fanout=[4, 2], seed=42)
+    bad = (
+        s.join(G.edges.select("src", "dst"), ["src", "dst"], "left_anti")
+        .groupBy("batch_id", "src", "hop")
+        .agg(F.count("*").alias("bad"))
+    )
+    return (
+        s.groupBy("batch_id", "src", "hop")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("dst").alias("n_distinct"),
+        )
+        .join(bad, ["batch_id", "src", "hop"], "left")
+        .select(
+            "batch_id", "src", "hop", "n_rows", "n_distinct",
+            F.coalesce("bad", F.lit(0)).cast("long").alias("bad_edges"),
+        )
+    )
+
+
 def q_incremental_wcc(spark, sf_dir):
     """Incremental WCC end-to-end: the supplier co-purchase edges are
     split deterministically into two EdgeLog batches (xxhash64 parity);
@@ -2199,6 +2238,7 @@ def queries():
         "coloring": q_coloring,
         "neighbor_sample": q_neighbor_sample,
         "neighbor_sample_wr": q_neighbor_sample_wr,
+        "bulk_sample": q_bulk_sample,
         "betweenness": q_betweenness,
         "edge_betweenness": q_edge_betweenness,
         "clustering_scores": q_clustering_scores,
@@ -2280,6 +2320,8 @@ def oracle_sql():
             EDGES_CS_SQL, n_starts=16, fanout0=4),
         "neighbor_sample_wr": ob.neighbor_sample_wr_invariants_sql(
             EDGES_CS_SQL, n_starts=16, fanout0=4),
+        "bulk_sample": ob.bulk_sample_invariants_sql(
+            EDGES_CS_SQL, n_starts=16, per_batch=8, fanout0=4),
         "mis": ob.mis_invariants_sql(EDGES_SS_SQL),
         "minhash_pairs": ob.minhash_sql(threshold=0.5),
         "doc_dup_clusters": _doc_dup_clusters_sql(threshold=0.5),

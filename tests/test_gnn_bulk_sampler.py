@@ -1,0 +1,147 @@
+"""BulkSampler / batched uniform neighbor sampling tests.
+
+Contract source: reference ``gnn/data_loading/bulk_sampler.py`` (column
+conventions, parquet minibatch layout) and
+``sampling/uniform_neighbor_sample.py`` per-batch semantics.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cugraph_spark.gnn import BulkSampler
+from cugraph_spark.graph import Graph
+from cugraph_spark.operators.sampling import (
+    uniform_neighbor_sample,
+    uniform_neighbor_sample_batched,
+)
+
+from .conftest import make_edges
+
+
+def _graph(spark, kind="weighted", directed=True):
+    e = spark.createDataFrame(make_edges(kind), ["src", "dst", "weight"])
+    return Graph(e, directed=directed, weighted=True)
+
+
+def _seeds(spark, batches):
+    rows = [(v, b) for b, verts in batches.items() for v in verts]
+    return spark.createDataFrame(rows, ["_START_", "_BATCH_"])
+
+
+def test_batched_edges_are_real_and_fanout_bounded(spark):
+    G = _graph(spark)
+    seeds = _seeds(spark, {0: [0, 1, 2, 3], 1: [4, 5, 6, 7]})
+    s = uniform_neighbor_sample_batched(G, seeds, fanout=[3, 2], seed=7)
+    rows = s.collect()
+    assert rows, "sampler returned nothing"
+    real = {(r["src"], r["dst"]) for r in G.edges.collect()}
+    per_key: dict = {}
+    for r in rows:
+        assert (r["src"], r["dst"]) in real
+        per_key.setdefault((r["batch_id"], r["src"], r["hop"]), set()).add(r["dst"])
+    for (b, src, hop), dsts in per_key.items():
+        assert len(dsts) <= (3 if hop == 0 else 2)
+
+
+def test_batches_sample_independently_and_match_single(spark):
+    """A batch's sample equals the single-batch sampler seeded with the
+    batch-aware hash only through its own frontier — and two batches
+    with identical seeds draw identical frontier EDGES but evolve
+    independently (no cross-batch leakage)."""
+    G = _graph(spark)
+    seeds = _seeds(spark, {3: [0, 1], 9: [0, 1]})
+    s = uniform_neighbor_sample_batched(G, seeds, fanout=[2, 2], seed=7)
+    got = {
+        b: sorted((r["src"], r["dst"], r["hop"]) for r in rows)
+        for b, rows in (
+            (b, [r for r in s.collect() if r["batch_id"] == b]) for b in (3, 9)
+        )
+    }
+    # both batches had the same seeds; draws are keyed on batch so the
+    # concrete samples MAY differ, but hop-0 sources must coincide
+    assert {r[0] for r in got[3] if r[2] == 0} == {r[0] for r in got[9] if r[2] == 0}
+
+
+def test_batched_deterministic_across_partitionings(spark):
+    G = _graph(spark)
+    seeds = _seeds(spark, {0: [0, 1, 2], 1: [3, 4, 5]})
+    a = uniform_neighbor_sample_batched(G, seeds, fanout=[2, 2], seed=11)
+    b = uniform_neighbor_sample_batched(
+        G, seeds.repartition(7), fanout=[2, 2], seed=11
+    )
+    ka = sorted(map(tuple, a.collect()))
+    kb = sorted(map(tuple, b.collect()))
+    assert ka == kb
+
+
+def test_batched_with_replacement_slot_count(spark):
+    G = _graph(spark)
+    seeds = _seeds(spark, {0: [0, 1, 2, 3]})
+    s = uniform_neighbor_sample_batched(
+        G, seeds, fanout=[4], seed=5, with_replacement=True
+    )
+    # every hop-0 frontier vertex with out-degree >= 1 draws exactly 4 slots
+    deg = {r["src"]: r["d"] for r in
+           G.edges.groupBy("src").agg(F.count("*").alias("d")).collect()}
+    cnt: dict = {}
+    for r in s.collect():
+        cnt[r["src"]] = cnt.get(r["src"], 0) + 1
+    for v in [0, 1, 2, 3]:
+        if deg.get(v, 0) >= 1:
+            assert cnt.get(v, 0) == 4
+
+
+def test_bulk_sampler_parquet_roundtrip(spark, tmp_path):
+    G = _graph(spark)
+    out = str(tmp_path / "minibatches")
+    bs = BulkSampler(
+        batch_size=4, output_path=out, graph=G,
+        fanout=[3, 2], seed=7, batches_per_partition=2,
+    )
+    bs.add_batches(_seeds(spark, {0: [0, 1, 2, 3], 1: [4, 5, 6, 7]}))
+    bs.add_batches(
+        spark.createDataFrame([(8, 2), (9, 2)], ["start", "batch"]),
+        start_col_name="start", batch_col_name="batch",
+    )
+    bs.flush()
+    assert bs.flush_count == 1
+    back = spark.read.parquet(out)
+    assert set(back.columns) == {
+        "batch_id", "src", "dst", "weight", "hop", "batch_partition",
+    }
+    parts = {r["batch_partition"] for r in back.select("batch_partition").distinct().collect()}
+    assert parts == {0, 1}  # batches 0,1 -> 0; batch 2 -> 1
+    # flush clears pending; flushing again is a no-op
+    bs.flush()
+    assert bs.flush_count == 1
+    # the written sample equals the direct batched-sampler output
+    direct = uniform_neighbor_sample_batched(
+        G, _seeds(spark, {0: [0, 1, 2, 3], 1: [4, 5, 6, 7], 2: [8, 9]}),
+        fanout=[3, 2], seed=7,
+    )
+    assert sorted(map(tuple, back.drop("batch_partition").collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_bulk_sampler_rejects_renumber(spark, tmp_path):
+    G = _graph(spark)
+    with pytest.raises(NotImplementedError):
+        BulkSampler(4, str(tmp_path / "x"), G, renumber=True)
+
+
+def test_batched_single_batch_matches_unbatched_shape(spark):
+    """One batch through the batched path produces a valid sample of
+    the same invariant shape as the unbatched sampler (draw hashes
+    differ by design — the batch id is in the key)."""
+    G = _graph(spark)
+    starts = spark.createDataFrame([(0,), (1,), (2,)], ["v"])
+    ub = uniform_neighbor_sample(G, starts, fanout=[2], seed=3)
+    seeds = spark.createDataFrame([(0, 0), (1, 0), (2, 0)], ["_START_", "_BATCH_"])
+    bt = uniform_neighbor_sample_batched(G, seeds, fanout=[2], seed=3)
+    assert ub.groupBy("src").count().collect() and bt.groupBy("src").count().collect()
+    a = {r["src"]: r["count"] for r in ub.groupBy("src").count().collect()}
+    b = {r["src"]: r["count"] for r in bt.groupBy("src").count().collect()}
+    assert a.keys() == b.keys() and all(a[k] == b[k] for k in a)
