@@ -80,7 +80,7 @@ def maximal_independent_set(
 
 
 def vertex_coloring(
-    G: Graph, seed: int = 42, max_colors: int = 200
+    G: Graph, seed: int = 42, max_colors: int = 200, check_every: int = 1
 ) -> DataFrame:
     """Jones–Plassmann greedy coloring: [vertex, color] (0-based),
     proper — no edge joins two vertices of the same color.
@@ -96,13 +96,19 @@ def vertex_coloring(
     color (driver actions = colors × MIS-rounds), a latency cliff on
     wide-chromatic graphs. Deterministic at any parallelism: counter-
     based priorities ``xxhash64(vertex, round, seed)``, ties by id.
+
+    ``check_every=k``: the emptiness probe (the loop's only driver
+    round trip) runs every k rounds — a selection round over an
+    already-empty active set is a no-op, so results are identical for
+    any k and the only trade is up to k-1 wasted no-op rounds (empty
+    frames) after completion.
     """
     edges = _sym_edges(G).persist(StorageLevel.MEMORY_AND_DISK)
     active = G.vertices().transform(truncate_plan)
     colored = None  # (vertex, color)
 
     for rnd in range(max_colors):
-        if active.isEmpty():
+        if rnd % check_every == 0 and active.isEmpty():
             break
         pri = active.select(
             "vertex",
