@@ -61,6 +61,21 @@ def test_triangle_count_plan_has_no_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_bulk_sampler_plan_is_joins_not_loops(spark):
+    # the batched GNN sampler must fan batches out through joins —
+    # no cartesian/nested-loop node, no Python UDF in the hot path
+    from cugraph_spark.operators.sampling import uniform_neighbor_sample_batched
+
+    G = Graph(edges_df(spark, make_edges("tiny_social")), directed=True)
+    seeds = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 1), (3, 1)], ["_START_", "_BATCH_"]
+    )
+    plan = _plan(uniform_neighbor_sample_batched(G, seeds, fanout=[2, 2]))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_whole_stage_codegen_covers_text_scoring(spark):
     # the text pipeline must stay JVM-side: no Python UDF nodes
     from cugraph_spark.functions.text import quality_score
