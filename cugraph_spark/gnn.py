@@ -14,8 +14,12 @@ Design notes vs the reference:
   (the batch id rides the per-hop join/window keys — see
   ``operators/sampling.py:uniform_neighbor_sample_batched``), executor
   memory is bounded by partitioning, and batch ids are preserved
-  verbatim (no renumber quirk). ``seeds_per_call`` is accepted for API
-  compatibility and ignored.
+  verbatim (the reference renumbers batch ids per output partition —
+  its issue-#3794 workaround — which loses the caller's ids; nothing
+  forces that here). ``renumber=True`` is the reference's VERTEX
+  renumbering: batch-local contiguous ids, seeds first, with a
+  [batch_id, local_id, vertex] map sidecar. ``seeds_per_call`` is
+  accepted for API compatibility and ignored.
 - Output: parquet at ``output_path`` partitioned by
   ``batch_partition = batch_id // batches_per_partition`` with columns
   [batch_id, src, dst, weight, hop] — the reference's
@@ -29,8 +33,67 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pyspark.sql import Window
+
 from .graph import Graph
 from .operators.sampling import uniform_neighbor_sample_batched
+
+
+def renumber_batch_samples(
+    samples: DataFrame, seeds: DataFrame,
+    start_col: str = "_START_", batch_col: str = "_BATCH_",
+) -> tuple[DataFrame, DataFrame]:
+    """Per-batch contiguous local vertex ids — the Spark analog of the
+    reference's renumbered sampler output (``bulk_sampler_io.py``:
+    minors + renumber map per batch; the CSR byte-packing is a GPU
+    framework contract with no Spark meaning).
+
+    Local id order is the GNN convention: the batch's seeds first
+    (ascending vertex id), then newly-reached vertices by (first hop
+    reached, vertex id) — so layer-0 seeds occupy ids 0..n_seeds-1 in
+    every batch, exactly what a training loop indexing the first rows
+    of the feature matrix expects. Deterministic at any parallelism.
+
+    Returns (renumbered_samples [batch_id, src, dst, weight, hop] with
+    LOCAL ids, renumber_map [batch_id, local_id, vertex]).
+    """
+    seed_v = seeds.select(
+        F.col(batch_col).cast("long").alias("batch_id"),
+        F.col(start_col).alias("vertex"),
+        F.lit(-1).alias("ord"),
+    )
+    reached = samples.select(
+        "batch_id", F.col("dst").alias("vertex"), F.col("hop").alias("ord")
+    )
+    first = (
+        seed_v.unionByName(reached)
+        .groupBy("batch_id", "vertex")
+        .agg(F.min("ord").alias("first_ord"))
+    )
+    # one window per batch — partitions are minibatch-sized by design,
+    # so the per-batch sort never sees more than one batch's vertices
+    w = Window.partitionBy("batch_id").orderBy("first_ord", "vertex")
+    rmap = first.select(
+        "batch_id", (F.row_number().over(w) - 1).alias("local_id"), "vertex"
+    )
+    s_map = rmap.select(
+        "batch_id", F.col("vertex").alias("src"), F.col("local_id").alias("src_l")
+    )
+    d_map = rmap.select(
+        "batch_id", F.col("vertex").alias("dst"), F.col("local_id").alias("dst_l")
+    )
+    renumbered = (
+        samples.join(s_map, ["batch_id", "src"])
+        .join(d_map, ["batch_id", "dst"])
+        .select(
+            "batch_id",
+            F.col("src_l").alias("src"),
+            F.col("dst_l").alias("dst"),
+            "weight",
+            "hop",
+        )
+    )
+    return renumbered, rmap
 
 
 class BulkSampler:
@@ -59,11 +122,7 @@ class BulkSampler:
         batches_per_partition: int = 100,
         renumber: bool = False,
     ):
-        if renumber:
-            raise NotImplementedError(
-                "per-partition batch renumbering is the reference's "
-                "issue-#3794 workaround; batch ids are preserved here"
-            )
+        self.renumber = renumber
         self.batch_size = batch_size
         self.output_path = output_path
         self.graph = graph
@@ -115,10 +174,28 @@ class BulkSampler:
 
     def flush(self) -> None:
         """Sample every pending batch in one plan and append the
-        minibatches to ``output_path`` partitioned by batch range."""
+        minibatches to ``output_path`` partitioned by batch range.
+        With ``renumber=True`` vertex ids are batch-local contiguous
+        (seeds first) and the [batch_id, local_id, vertex] map lands
+        in ``<output_path>_renumber_map`` — the reference's
+        ``write_samples`` renumber-map sidecar, as a parquet dataset."""
         if self._pending is None:
             return
-        write_samples(self.sample(), self.output_path)
+        out = self.sample()
+        if self.renumber:
+            renum, rmap = renumber_batch_samples(
+                out.drop("batch_partition"), self._pending,
+                self.start_col_name, self.batch_col_name,
+            )
+            out = renum.withColumn(
+                "batch_partition",
+                (F.col("batch_id") / F.lit(self.batches_per_partition))
+                .cast("long"),
+            )
+            rmap.write.mode("append").parquet(
+                self.output_path.rstrip("/") + "_renumber_map"
+            )
+        write_samples(out, self.output_path)
         self._pending = None
         self.flush_count += 1
 

@@ -1916,6 +1916,78 @@ def q_bulk_sample(spark, sf_dir):
     )
 
 
+def q_bulk_sample_renumber(spark, sf_dir):
+    """Renumbered bulk-sampler output under the gate: per batch the
+    local ids must be contiguous 0..n-1, the batch's seeds must occupy
+    the first n_seeds ids, and mapping the renumbered edges back
+    through the map must reconstruct the original sample exactly.
+    Returns [batch_id, ok] — expected all-true."""
+    from .gnn import renumber_batch_samples
+    from .operators.sampling import uniform_neighbor_sample_batched
+    from pyspark.sql import Window
+
+    e = edges_cs(spark, sf_dir)
+    G = Graph(e, directed=True, weighted=True)
+    starts = G.vertices().orderBy("vertex").limit(16)
+    seeds = starts.select(
+        F.col("vertex").alias("_START_"),
+        ((F.row_number().over(Window.orderBy("vertex")) - 1) / F.lit(8))
+        .cast("long")
+        .alias("_BATCH_"),
+    )
+    s = uniform_neighbor_sample_batched(G, seeds, fanout=[4, 2], seed=42)
+    renum, rmap = renumber_batch_samples(s, seeds)
+
+    ids_ok = rmap.groupBy("batch_id").agg(
+        (
+            (F.min("local_id") == 0)
+            & (F.max("local_id") == F.count("*") - 1)
+            & (F.count_distinct("local_id") == F.count("*"))
+        ).alias("ids_ok")
+    )
+    seeds_ok = (
+        rmap.join(
+            seeds.select(
+                F.col("_BATCH_").alias("batch_id"),
+                F.col("_START_").alias("vertex"),
+            ),
+            ["batch_id", "vertex"],
+        )
+        .groupBy("batch_id")
+        .agg((F.max("local_id") == F.count("*") - 1).alias("seeds_ok"))
+    )
+    back = (
+        renum.join(
+            rmap.select("batch_id", F.col("local_id").alias("src"),
+                        F.col("vertex").alias("osrc")),
+            ["batch_id", "src"],
+        )
+        .join(
+            rmap.select("batch_id", F.col("local_id").alias("dst"),
+                        F.col("vertex").alias("odst")),
+            ["batch_id", "dst"],
+        )
+        .select("batch_id", F.col("osrc").alias("src"),
+                F.col("odst").alias("dst"), "hop")
+    )
+    rt_bad = (
+        back.join(s.select("batch_id", "src", "dst", "hop"),
+                  ["batch_id", "src", "dst", "hop"], "left_anti")
+        .groupBy("batch_id").agg(F.count("*").alias("bad"))
+    )
+    return (
+        ids_ok.join(seeds_ok, "batch_id")
+        .join(rt_bad, "batch_id", "left")
+        .select(
+            "batch_id",
+            (
+                F.col("ids_ok") & F.col("seeds_ok")
+                & F.coalesce("bad", F.lit(0)).eqNullSafe(0)
+            ).alias("ok"),
+        )
+    )
+
+
 def q_incremental_wcc(spark, sf_dir):
     """Incremental WCC end-to-end: the supplier co-purchase edges are
     split deterministically into two EdgeLog batches (xxhash64 parity);
@@ -2239,6 +2311,7 @@ def queries():
         "neighbor_sample": q_neighbor_sample,
         "neighbor_sample_wr": q_neighbor_sample_wr,
         "bulk_sample": q_bulk_sample,
+        "bulk_sample_renumber": q_bulk_sample_renumber,
         "betweenness": q_betweenness,
         "edge_betweenness": q_edge_betweenness,
         "clustering_scores": q_clustering_scores,
@@ -2322,6 +2395,9 @@ def oracle_sql():
             EDGES_CS_SQL, n_starts=16, fanout0=4),
         "bulk_sample": ob.bulk_sample_invariants_sql(
             EDGES_CS_SQL, n_starts=16, per_batch=8, fanout0=4),
+        "bulk_sample_renumber": (
+            "SELECT * FROM (VALUES (CAST(0 AS BIGINT), TRUE),"
+            " (CAST(1 AS BIGINT), TRUE)) AS t(batch_id, ok)"),
         "mis": ob.mis_invariants_sql(EDGES_SS_SQL),
         "minhash_pairs": ob.minhash_sql(threshold=0.5),
         "doc_dup_clusters": _doc_dup_clusters_sql(threshold=0.5),

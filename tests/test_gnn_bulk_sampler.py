@@ -7,7 +7,6 @@ conventions, parquet minibatch layout) and
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 from cugraph_spark.gnn import BulkSampler
@@ -126,10 +125,57 @@ def test_bulk_sampler_parquet_roundtrip(spark, tmp_path):
     )
 
 
-def test_bulk_sampler_rejects_renumber(spark, tmp_path):
+def test_renumber_local_ids_contiguous_seeds_first(spark):
+    from cugraph_spark.gnn import renumber_batch_samples
+    from cugraph_spark.operators.sampling import uniform_neighbor_sample_batched
+
     G = _graph(spark)
-    with pytest.raises(NotImplementedError):
-        BulkSampler(4, str(tmp_path / "x"), G, renumber=True)
+    batches = {0: [0, 1, 2, 3], 1: [4, 5, 6, 7]}
+    seeds = _seeds(spark, batches)
+    s = uniform_neighbor_sample_batched(G, seeds, fanout=[3, 2], seed=7)
+    renum, rmap = renumber_batch_samples(s, seeds)
+    maps = {}
+    for r in rmap.collect():
+        maps.setdefault(r["batch_id"], {})[r["local_id"]] = r["vertex"]
+    for b, m in maps.items():
+        # contiguous 0..n-1
+        assert sorted(m) == list(range(len(m)))
+        # seeds occupy the first ids, in ascending vertex order
+        n_seeds = len(batches[b])
+        assert [m[i] for i in range(n_seeds)] == sorted(batches[b])
+    # the renumbered edges reconstruct the original sample exactly
+    back = {
+        (r["batch_id"], maps[r["batch_id"]][r["src"]],
+         maps[r["batch_id"]][r["dst"]], r["hop"])
+        for r in renum.collect()
+    }
+    orig = {(r["batch_id"], r["src"], r["dst"], r["hop"]) for r in s.collect()}
+    assert back == orig
+
+
+def test_bulk_sampler_renumber_flush(spark, tmp_path):
+    G = _graph(spark)
+    out = str(tmp_path / "mb")
+    bs = BulkSampler(
+        batch_size=4, output_path=out, graph=G,
+        fanout=[3, 2], seed=7, renumber=True,
+    )
+    bs.add_batches(_seeds(spark, {0: [0, 1, 2, 3], 1: [4, 5, 6, 7]}))
+    bs.flush()
+    back = spark.read.parquet(out)
+    rmap = spark.read.parquet(out + "_renumber_map")
+    n_per_batch = {
+        r["batch_id"]: r["n"]
+        for r in rmap.groupBy("batch_id").agg(F.count("*").alias("n")).collect()
+    }
+    mx = {
+        r["batch_id"]: r["m"]
+        for r in back.groupBy("batch_id")
+        .agg(F.max(F.greatest("src", "dst")).alias("m"))
+        .collect()
+    }
+    for b, m in mx.items():
+        assert m <= n_per_batch[b] - 1
 
 
 def test_batched_single_batch_matches_unbatched_shape(spark):
