@@ -57,7 +57,9 @@ from .operators.sampling import (  # noqa: F401
     random_walks,
     rw_path,
     uniform_neighbor_sample,
+    uniform_neighbor_sample_batched,
 )
+from . import gnn  # noqa: F401
 from .operators.community import (  # noqa: F401
     batched_ego_graphs,
     coarsen_graph,

@@ -2,8 +2,10 @@
 
 Recreates ``gnn/data_loading/bulk_sampler.py`` (class ``BulkSampler``,
 column conventions ``_START_``/``_BATCH_``, parquet minibatch output
-partitioned by batch range) and the io contract of
-``gnn/data_loading/bulk_sampler_io.py:write_samples``.
+partitioned by batch range), the io contract of
+``gnn/data_loading/bulk_sampler_io.py:write_samples``, and the
+``gnn/feature_storage/feat_storage.py`` ``FeatureStore`` minibatch
+feature-fetch surface.
 
 Design notes vs the reference:
 
@@ -198,6 +200,196 @@ class BulkSampler:
         write_samples(out, self.output_path)
         self._pending = None
         self.flush_count += 1
+
+
+class DistSampleWriter:
+    """``dist_sampler.py:DistSampleWriter`` analog: owns the output
+    location + batch-range partitioning for sampler minibatches.
+    Format is parquet (the reference's default)."""
+
+    def __init__(self, directory: str, batches_per_partition: int = 256,
+                 format: str = "parquet"):
+        if format != "parquet":
+            raise ValueError("only parquet output is supported")
+        self._directory = directory
+        self._batches_per_partition = batches_per_partition
+
+    def write_minibatches(self, samples: DataFrame) -> None:
+        out = samples.withColumn(
+            "batch_partition",
+            (F.col("batch_id") / F.lit(self._batches_per_partition))
+            .cast("long"),
+        )
+        write_samples(out, self._directory)
+
+    def get_reader(self, spark) -> "DistSampleReader":
+        return DistSampleReader(self._directory, spark)
+
+
+class DistSampleReader:
+    """Iterate the written minibatch dataset one batch-partition at a
+    time (the reference reads one parquet file per step). Yields
+    ``(pandas_minibatch, start_batch, end_batch)`` — pandas because the
+    consumer is a training loop, and one partition is minibatch-sized
+    by construction."""
+
+    def __init__(self, directory: str, spark):
+        self._df = spark.read.parquet(directory)
+        self._parts = sorted(
+            r["batch_partition"]
+            for r in self._df.select("batch_partition").distinct().collect()
+        )
+        self._i = 0
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        if self._i >= len(self._parts):
+            raise StopIteration
+        p = self._parts[self._i]
+        self._i += 1
+        pdf = (
+            self._df.filter(F.col("batch_partition") == p)
+            .drop("batch_partition")
+            .toPandas()
+        )
+        return pdf, int(pdf["batch_id"].min()), int(pdf["batch_id"].max())
+
+
+class DistSampler:
+    """``dist_sampler.py:DistSampler`` analog: chunk a node list into
+    ``batch_size`` batches and bulk-sample them — all batches in one
+    plan (the reference loops per rank/call; see BulkSampler notes)."""
+
+    def __init__(self, graph: Graph, writer: DistSampleWriter,
+                 fanout: list[int] | None = None, seed: int = 42,
+                 with_replacement: bool = False):
+        self._graph = graph
+        self._writer = writer
+        self.fanout = fanout if fanout is not None else [10, 25]
+        self.seed = seed
+        self.with_replacement = with_replacement
+
+    def sample_from_nodes(self, nodes: DataFrame, batch_size: int,
+                          start_batch_id: int = 0) -> None:
+        """``nodes``: one-column DataFrame of start vertices. Batch ids
+        assigned deterministically by ascending vertex id in chunks of
+        ``batch_size`` (the reference chunks the caller's tensor in
+        order; a DataFrame has no order, so ascending id is the
+        deterministic equivalent)."""
+        v = nodes.columns[0]
+        seeds = nodes.select(
+            F.col(v).alias("_START_"),
+            (
+                ((F.row_number().over(Window.orderBy(F.col(v))) - 1)
+                 / F.lit(batch_size)).cast("long")
+                + F.lit(start_batch_id)
+            ).alias("_BATCH_"),
+        )
+        samples = uniform_neighbor_sample_batched(
+            self._graph, seeds, fanout=self.fanout, seed=self.seed,
+            with_replacement=self.with_replacement,
+        )
+        self._writer.write_minibatches(samples)
+
+    def get_reader(self, spark) -> DistSampleReader:
+        return self._writer.get_reader(spark)
+
+
+class UniformNeighborSampler(DistSampler):
+    """Reference export alias: a DistSampler whose sampling primitive
+    is uniform per-hop neighbor top-k (the only primitive here)."""
+
+
+class FeatureStore:
+    """The reference's ``gnn/feature_storage/feat_storage.py`` surface
+    over Spark storage: per-(type, feature) vertex feature tables.
+
+    Backend is numpy (the reference's default; torch/wholegraph are GPU
+    runtime contracts with no Spark meaning). Features register as
+    DataFrames ``[vertex, value]`` (value may be an array column) or as
+    numpy arrays (row i = vertex id i, the reference's indexing
+    semantic). ``get_data`` fetches a MINIBATCH of vertex ids to the
+    driver — that is the GNN training contract (indices come from a
+    sampler minibatch, bounded by batch size), not a scan collect; the
+    distributed filter runs as a broadcast semi-join on the id list.
+    """
+
+    def __init__(self, spark=None, backend: str = "numpy"):
+        if backend != "numpy":
+            raise ValueError(
+                f"backend {backend} not supported. Supported backends "
+                "on Spark storage: numpy"
+            )
+        self.backend = backend
+        self._spark = spark
+        self.fd: dict = {}
+
+    def add_data(self, feat_obj, type_name: str, feat_name: str,
+                 vertex_col: str | None = None) -> None:
+        """Register features. ``feat_obj``: a DataFrame whose first (or
+        ``vertex_col``) column is the vertex id and the rest the
+        feature value(s), or a numpy/array-like where row i belongs to
+        vertex i (reference ``add_data`` semantics)."""
+        import numpy as np
+
+        if isinstance(feat_obj, DataFrame):
+            vc = vertex_col or feat_obj.columns[0]
+            cols = [c for c in feat_obj.columns if c != vc]
+            df = feat_obj.select(
+                F.col(vc).cast("long").alias("vertex"),
+                F.array(*[F.col(c).cast("double") for c in cols]).alias("feat")
+                if len(cols) > 1 or not _is_array_col(feat_obj, cols[0])
+                else F.col(cols[0]).cast("array<double>").alias("feat"),
+            )
+        else:
+            arr = np.asarray(feat_obj, dtype="float64")
+            if arr.ndim == 1:
+                arr = arr[:, None]
+            if self._spark is None:
+                raise ValueError("pass spark= to register numpy features")
+            df = self._spark.createDataFrame(
+                [(i, row.tolist()) for i, row in enumerate(arr)],
+                "vertex long, feat array<double>",
+            )
+        self.fd.setdefault(type_name, {})[feat_name] = df
+
+    # reference API alias: no backend cast exists on the numpy path
+    add_data_no_cast = add_data
+
+    def get_data(self, indices, type_name: str, feat_name: str):
+        """Fetch ``feat[indices]`` for a minibatch of vertex ids —
+        returns a 2-D numpy array aligned (and duplicated) exactly like
+        the reference's array indexing."""
+        import numpy as np
+
+        if type_name not in self.fd or feat_name not in self.fd[type_name]:
+            raise ValueError(f"feature {type_name}/{feat_name} not found")
+        df = self.fd[type_name][feat_name]
+        idx = [int(i) for i in indices]
+        spark = df.sparkSession
+        want = spark.createDataFrame([(i,) for i in set(idx)], "vertex long")
+        rows = df.join(F.broadcast(want), "vertex").collect()
+        lut = {r["vertex"]: r["feat"] for r in rows}
+        missing = [i for i in idx if i not in lut]
+        if missing:
+            raise ValueError(f"vertex ids without features: {missing[:5]}")
+        return np.asarray([lut[i] for i in idx], dtype="float64")
+
+    def get_feature_list(self) -> list[str]:
+        return [f for feats in self.fd.values() for f in feats]
+
+    def get_storage(self, type_name: str, feat_name: str) -> str:
+        if type_name not in self.fd or feat_name not in self.fd[type_name]:
+            raise ValueError(f"feature {type_name}/{feat_name} not found")
+        return "spark"
+
+
+def _is_array_col(df: DataFrame, col: str) -> bool:
+    from pyspark.sql.types import ArrayType
+
+    return isinstance(df.schema[col].dataType, ArrayType)
 
 
 def write_samples(samples: DataFrame, output_path: str) -> None:

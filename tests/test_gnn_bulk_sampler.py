@@ -178,6 +178,61 @@ def test_bulk_sampler_renumber_flush(spark, tmp_path):
         assert m <= n_per_batch[b] - 1
 
 
+def test_dist_sampler_write_read_roundtrip(spark, tmp_path):
+    from cugraph_spark.gnn import DistSampleWriter, UniformNeighborSampler
+
+    G = _graph(spark)
+    out = str(tmp_path / "dist")
+    writer = DistSampleWriter(out, batches_per_partition=2)
+    sampler = UniformNeighborSampler(G, writer, fanout=[3, 2], seed=7)
+    nodes = spark.createDataFrame([(v,) for v in range(12)], ["v"])
+    sampler.sample_from_nodes(nodes, batch_size=4)  # batches 0,1,2
+    chunks = list(sampler.get_reader(spark))
+    assert len(chunks) == 2  # partitions {0,1} and {2}
+    (p0, s0, e0), (p1, s1, e1) = chunks
+    assert (s0, e0) == (0, 1) and (s1, e1) == (2, 2)
+    # batch chunking: batch b's hop-0 sources are exactly the b-th
+    # ascending-id chunk of nodes (intersected with sources that have
+    # out-edges)
+    hop0 = p0[p0["hop"] == 0]
+    assert set(hop0[hop0["batch_id"] == 0]["src"]) <= {0, 1, 2, 3}
+    assert set(hop0[hop0["batch_id"] == 1]["src"]) <= {4, 5, 6, 7}
+
+
+def test_feature_store_numpy_and_dataframe(spark):
+    import numpy as np
+    import pytest
+    from cugraph_spark.gnn import FeatureStore
+
+    fs = FeatureStore(spark)
+    arr = np.arange(12, dtype="float64").reshape(6, 2)
+    fs.add_data(arr, "user", "emb")
+    got = fs.get_data([3, 1, 3], "user", "emb")
+    assert got.shape == (3, 2)
+    assert (got == arr[[3, 1, 3]]).all()
+
+    df = spark.createDataFrame(
+        [(10, 1.5, 2.5), (11, 3.5, 4.5)], ["vid", "x", "y"]
+    )
+    fs.add_data(df, "item", "xy", vertex_col="vid")
+    got = fs.get_data([11, 10], "item", "xy")
+    assert (got == np.array([[3.5, 4.5], [1.5, 2.5]])).all()
+
+    arr_df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0]), (1, [4.0, 5.0, 6.0])],
+        "vertex long, emb array<double>",
+    )
+    fs.add_data(arr_df, "doc", "emb")
+    assert (fs.get_data([1], "doc", "emb") == np.array([[4.0, 5.0, 6.0]])).all()
+
+    assert set(fs.get_feature_list()) == {"emb", "xy"}
+    assert fs.get_storage("user", "emb") == "spark"
+    with pytest.raises(ValueError):
+        fs.get_data([0], "nope", "emb")
+    with pytest.raises(ValueError):
+        fs.get_data([99], "user", "emb")
+
+
 def test_batched_single_batch_matches_unbatched_shape(spark):
     """One batch through the batched path produces a valid sample of
     the same invariant shape as the unbatched sampler (draw hashes
