@@ -219,3 +219,29 @@ def test_bfs_sssp_random_graphs(spark, edges, source):
             assert got_s[v] is None
         else:
             assert got_s[v] is not None and abs(got_s[v] - ref_s[v]) < 1e-9
+
+
+@settings(**_SETTINGS)
+@given(edges=_edge_lists)
+def test_vertex_coloring_random_graphs(spark, edges):
+    # Jones-Plassmann greedy rewrite: proper (no monochromatic edge),
+    # complete (every vertex colored exactly once), and <= delta+1
+    # colors — checked on adversarial multi-edge/self-loop inputs.
+    from cugraph_spark.operators.mis import vertex_coloring
+
+    G = Graph(edges_df(spark, edges), directed=False)
+    rows = vertex_coloring(G).collect()
+    color = {}
+    for r in rows:
+        assert r["vertex"] not in color, "vertex colored twice"
+        color[r["vertex"]] = r["color"]
+    verts = {v for a, b, _ in edges for v in (a, b)}
+    assert set(color) == verts
+    deg: dict = {}
+    for a, b, _ in _min_dedup(edges):
+        if a != b:
+            assert color[a] != color[b]
+            for u, v in ((a, b), (b, a)):
+                deg.setdefault(u, set()).add(v)
+    delta = max((len(s) for s in deg.values()), default=0)
+    assert max(color.values(), default=0) <= delta
