@@ -51,7 +51,28 @@ print("BENCHJSON " + json.dumps({{
 """
 
 
+def _sweep_orphan_scratch() -> None:
+    """tmpfs shuffle scratch is RAM: a killed JVM's blockmgr dirs under
+    /dev/shm silently eat host memory until the NEXT run's heap cannot
+    fit (observed: 75 GiB of orphaned blocks + a 48 GiB heap → OOM
+    kill). Sweep scratch dirs when no JVM is alive to own them."""
+    import shutil
+    import subprocess as sp
+
+    alive = sp.run(["pgrep", "-c", "java"], capture_output=True, text=True)
+    if alive.stdout.strip() not in ("", "0"):
+        return
+    for base in ("/dev/shm/spark-graft-local", "/tmp"):
+        p = Path(base)
+        if not p.is_dir():
+            continue
+        for d in p.iterdir():
+            if d.name.startswith(("blockmgr-", "spark-")):
+                shutil.rmtree(d, ignore_errors=True)
+
+
 def run_worker(cpus: int, scale: int, ef: int, iters: int) -> dict:
+    _sweep_orphan_scratch()
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env.setdefault("SPARK_DRIVER_MEMORY", "48g")
