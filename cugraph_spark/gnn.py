@@ -277,15 +277,23 @@ class DistSampler:
         assigned deterministically by ascending vertex id in chunks of
         ``batch_size`` (the reference chunks the caller's tensor in
         order; a DataFrame has no order, so ascending id is the
-        deterministic equivalent)."""
+        deterministic equivalent).
+
+        The dense rank comes from ``zipWithIndex`` over the sorted node
+        RDD — distributed sort + per-partition offsets, the same
+        no-single-partition-window idiom as ``graph.renumber`` — because
+        the node list here can be the entire vertex set and a global
+        ``Window.orderBy`` would funnel it through one task."""
         v = nodes.columns[0]
-        seeds = nodes.select(
-            F.col(v).alias("_START_"),
-            (
-                ((F.row_number().over(Window.orderBy(F.col(v))) - 1)
-                 / F.lit(batch_size)).cast("long")
-                + F.lit(start_batch_id)
-            ).alias("_BATCH_"),
+        vt = dict(nodes.dtypes)[v]
+        ranked = nodes.sparkSession.createDataFrame(
+            nodes.select(F.col(v)).sort(v).rdd.map(lambda r: r[0]).zipWithIndex(),
+            schema=f"_START_ {vt}, _rank long",
+        )
+        seeds = ranked.select(
+            "_START_",
+            ((F.col("_rank") / F.lit(batch_size)).cast("long")
+             + F.lit(start_batch_id)).alias("_BATCH_"),
         )
         samples = uniform_neighbor_sample_batched(
             self._graph, seeds, fanout=self.fanout, seed=self.seed,
