@@ -64,6 +64,8 @@ def hash_sample(
     under corpus growth."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    if fraction == 1.0:
+        return df  # threshold would be 2^63, one past LongType's max
     h = _hash64(F.col(key_col).cast("string"), seed=seed, fn=hash_fn)
     if hash_fn == "md5_60":
         return df.filter(h < F.lit(int(fraction * _H60_MAX)))

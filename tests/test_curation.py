@@ -105,3 +105,13 @@ def test_validation_errors(spark):
         top_k_per_group(d, ["lang"], "n_chars", -1)
     with pytest.raises(ValueError):
         deterministic_sample_n(d, 0)
+
+
+def test_hash_sample_boundary_fractions(spark):
+    # fraction=1.0's xxhash64 threshold is 2^63 — one past LongType's
+    # max — so it must short-circuit; 0.0 keeps nothing.
+    d = _docs(spark, 10)
+    total = d.count()
+    for fn in ("xxhash64", "md5_60"):
+        assert hash_sample(d, 1.0, hash_fn=fn).count() == total
+        assert hash_sample(d, 0.0, hash_fn=fn).count() == 0
