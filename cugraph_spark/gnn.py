@@ -39,6 +39,7 @@ from pyspark.sql import Window
 
 from .graph import Graph
 from .operators.sampling import uniform_neighbor_sample_batched
+from .plans.lineage import truncate_plan
 
 
 def renumber_batch_samples(
@@ -75,9 +76,12 @@ def renumber_batch_samples(
     # one window per batch — partitions are minibatch-sized by design,
     # so the per-batch sort never sees more than one batch's vertices
     w = Window.partitionBy("batch_id").orderBy("first_ord", "vertex")
+    # materialize once: flush(renumber=True) runs TWO actions over this
+    # frame (the rmap sidecar write, then the samples write that joins
+    # it) — without the checkpoint the union+groupBy+window re-executes
     rmap = first.select(
         "batch_id", (F.row_number().over(w) - 1).alias("local_id"), "vertex"
-    )
+    ).transform(truncate_plan)
     s_map = rmap.select(
         "batch_id", F.col("vertex").alias("src"), F.col("local_id").alias("src_l")
     )
@@ -170,8 +174,9 @@ class BulkSampler:
         )
         return out.withColumn(
             "batch_partition",
-            (F.col("batch_id") / F.lit(self.batches_per_partition))
-            .cast("long"),
+            # floor, not cast: cast truncates toward zero, which would
+            # collide caller batch ids -1 and +1 into partition 0
+            F.floor(F.col("batch_id") / F.lit(self.batches_per_partition)),
         )
 
     def flush(self) -> None:
@@ -191,8 +196,7 @@ class BulkSampler:
             )
             out = renum.withColumn(
                 "batch_partition",
-                (F.col("batch_id") / F.lit(self.batches_per_partition))
-                .cast("long"),
+                F.floor(F.col("batch_id") / F.lit(self.batches_per_partition)),
             )
             rmap.write.mode("append").parquet(
                 self.output_path.rstrip("/") + "_renumber_map"
@@ -217,8 +221,7 @@ class DistSampleWriter:
     def write_minibatches(self, samples: DataFrame) -> None:
         out = samples.withColumn(
             "batch_partition",
-            (F.col("batch_id") / F.lit(self._batches_per_partition))
-            .cast("long"),
+            F.floor(F.col("batch_id") / F.lit(self._batches_per_partition)),
         )
         write_samples(out, self._directory)
 
@@ -345,11 +348,26 @@ class FeatureStore:
         if isinstance(feat_obj, DataFrame):
             vc = vertex_col or feat_obj.columns[0]
             cols = [c for c in feat_obj.columns if c != vc]
+            if not cols:
+                raise ValueError(
+                    f"feature DataFrame has no columns besides the vertex "
+                    f"column {vc!r}"
+                )
+            array_cols = [c for c in cols if _is_array_col(feat_obj, c)]
+            if array_cols and len(cols) > 1:
+                # casting an array column to double would silently null
+                # every element and only blow up later in get_data
+                raise ValueError(
+                    f"cannot mix array feature column(s) {array_cols} with "
+                    "other columns; register the array column alone"
+                )
             df = feat_obj.select(
                 F.col(vc).cast("long").alias("vertex"),
-                F.array(*[F.col(c).cast("double") for c in cols]).alias("feat")
-                if len(cols) > 1 or not _is_array_col(feat_obj, cols[0])
-                else F.col(cols[0]).cast("array<double>").alias("feat"),
+                F.col(cols[0]).cast("array<double>").alias("feat")
+                if array_cols
+                else F.array(
+                    *[F.col(c).cast("double") for c in cols]
+                ).alias("feat"),
             )
         else:
             arr = np.asarray(feat_obj, dtype="float64")

@@ -143,9 +143,17 @@ def hungarian(
             .transform(truncate_plan)
         )
     else:
-        raise FailedToConvergeError(
-            f"auction did not complete within {max_rounds} rounds"
+        # the loop checks completion at the TOP of each round, so an
+        # assignment finished by the final allowed round needs one more
+        # look before declaring failure
+        final_unassigned = wset.join(
+            assigned.select(F.col("i").alias("vertex")), "vertex", "left_anti"
         )
+        if not final_unassigned.isEmpty():
+            edges.unpersist()
+            raise FailedToConvergeError(
+                f"auction did not complete within {max_rounds} rounds"
+            )
 
     out = assigned.select(
         F.col("i").alias("vertex"), F.col("j").alias("assignment")

@@ -72,11 +72,14 @@ def force_atlas2(
     is a pure column expression, and the speed recurrence consumes
     exact global aggregates.
 
-    ``barnes_hut_optimize=False`` widens the grid to 1 cell per ~64
-    vertices of exact pairing (coarser far-field, more exact pairs);
+    ``barnes_hut_optimize=False`` collapses the grid to ONE cell, so
+    the near-field branch becomes exact all-pairs repulsion and the
+    far-field branch is empty — the reference's own non-BH kernel is
+    likewise O(V²) (force_atlas2.py:81-87), so the flag carries the
+    same "exact but quadratic, small graphs only" contract here.
     ``barnes_hut_theta`` maps inversely to grid resolution (smaller
     theta = finer grid = more accuracy), mirroring the reference's
-    speed/accuracy dial (force_atlas2.py:81-87).
+    speed/accuracy dial.
     ``prevent_overlapping`` is not supported (reference itself raises:
     force_atlas2.py "prevent_overlapping not implemented")."""
     if prevent_overlapping:
@@ -85,7 +88,7 @@ def force_atlas2(
     if barnes_hut_optimize:
         grid_cells = max(4, int(round(grid_cells * 0.5 / max(barnes_hut_theta, 0.05) / 2)) * 2)
     else:
-        grid_cells = 4
+        grid_cells = 1  # exact O(V²) pairwise repulsion
     edges = (
         G.edges.select(SRC, DST, WGT)
         .filter(F.col(SRC) != F.col(DST))
@@ -137,6 +140,10 @@ def force_atlas2(
     agg0 = state.agg(
         F.min("x"), F.max("x"), F.min("y"), F.max("y")
     ).first()
+    if agg0[0] is None:  # vertexless graph: nothing to lay out
+        edges.unpersist()
+        und.unpersist()
+        return state.select("vertex", "x", "y")
     bbox = (agg0[0], agg0[1], agg0[2], agg0[3])
     speed = 1.0
     speed_eff = 1.0

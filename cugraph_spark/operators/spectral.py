@@ -154,8 +154,12 @@ def kmeans(
             F.xxhash64(F.col("vertex"), F.lit(seed)), F.col("vertex")
         ).limit(k).collect()
     ]
+    if not cents:
+        raise ValueError("kmeans: empty input")
+    # fewer points than clusters: every point is its own centroid
+    k = min(k, len(cents))
     assigned = None
-    for _ in range(max_iter):
+    for _ in range(max(max_iter, 1)):
         dists = [
             sum(
                 ((F.col(c) - F.lit(float(cents[j][i]))) ** 2 for i, c in enumerate(feature_cols)),
@@ -246,7 +250,11 @@ def modularity_embedding(
     row = verts.agg(F.sum("d").alias("m2"), F.max("d").alias("dmax")).first()
     two_m, shift = float(row["m2"] or 0.0), float(row["dmax"] or 1.0)
     if two_m <= 0.0:
-        return verts.select("vertex", *[F.lit(0.0).alias(c) for c in cols])
+        out = verts.select(
+            "vertex", *[F.lit(0.0).alias(c) for c in cols]
+        ).transform(truncate_plan)
+        verts.unpersist()
+        return out
     ed = G.edges.select(SRC, DST, WGT).repartition(P, SRC).persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -258,10 +266,16 @@ def modularity_embedding(
         ).alias(c)
         for i, c in enumerate(cols)
     ]
-    X = verts.select("vertex", "d", *init).transform(truncate_plan)
-    X = _gram_schmidt_cols(X, cols).join(verts.select("vertex", "d"), "vertex")
+    gs = _gram_schmidt_cols(
+        verts.select("vertex", *init).transform(truncate_plan), cols
+    )
 
     for _ in range(num_iters):
+        # join degrees at the TOP of the iteration so the loop-final
+        # embedding is a pure select over the checkpointed Y — the
+        # returned plan must not reference `verts`/`ed` after their
+        # unpersist below (kmeans re-executes it once per round)
+        X = gs.join(verts.select("vertex", "d"), "vertex")
         # degᵀX per column — one fused aggregate
         dt = X.agg(*[F.sum(F.col(c) * F.col("d")).alias(c) for c in cols]).first()
         msgs = ed.join(X, ed[SRC] == X["vertex"]).groupBy(DST).agg(
@@ -279,9 +293,9 @@ def modularity_embedding(
                 for c in cols
             ],
         ).transform(truncate_plan)
-        X = _gram_schmidt_cols(Y, cols).join(verts.select("vertex", "d"), "vertex")
+        gs = _gram_schmidt_cols(Y, cols)
 
-    out = X.select("vertex", *cols)
+    out = gs.select("vertex", *cols)
     ed.unpersist()
     verts.unpersist()
     return out

@@ -68,13 +68,19 @@ def salted_sum(
 
     ``salt_on``: column whose hash picks the salt bucket (e.g. the
     message's *source* vertex — deterministic, so the split is stable
-    across partitionings). Defaults to hashing all non-key columns."""
+    across partitionings). Default: hash of all non-key columns PLUS
+    the map-partition id — the value columns alone can be constant
+    (e.g. lit(1.0) count messages), which would collapse every row of
+    a hub into ONE salt bucket and defeat the salting. Folding in the
+    partition id keeps the spread (phase 1's map-side combine already
+    reduces each map partition to ≤1 partial per (key, salt), so the
+    final SUM is unchanged — bucket placement never affects it)."""
     out_col = out_col or value_col
     if salt_on is not None:
         sexpr = F.pmod(F.xxhash64(F.col(salt_on)), F.lit(salt))
     else:
         other = [F.col(c) for c in df.columns if c != key]
-        sexpr = F.pmod(F.xxhash64(*other), F.lit(salt))
+        sexpr = F.pmod(F.xxhash64(*other, F.spark_partition_id()), F.lit(salt))
     phase1 = (
         df.groupBy(F.col(key), sexpr.alias("_salt"))
         .agg(F.sum(value_col).alias("_partial"))

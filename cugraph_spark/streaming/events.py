@@ -155,7 +155,10 @@ def streaming_hub_detector(
 ) -> DataFrame:
     """Streaming hub detection on an edge stream: maintains cumulative
     out-degree per source vertex and emits ``(vertex, degree)`` the
-    first time a vertex crosses ``threshold`` (exactly once per hub).
+    first time a vertex's degree EXCEEDS ``threshold`` (exactly once
+    per hub) — the same strict-``>`` boundary as the batch scan
+    ``plans/skew.py:hub_vertices``, so the streaming hub set converges
+    to exactly the set the salted plans would derive from a rescan.
 
     This is the online feed for the hub-salting plans
     (``plans/skew.py`` detects hubs with a batch degree scan; on a
@@ -172,7 +175,7 @@ def streaming_hub_detector(
         d, emitted = state.get if state.exists else (0, False)
         for pdf in pdfs:
             d += len(pdf)
-        fire = bool(d >= threshold and not emitted)
+        fire = bool(d > threshold and not emitted)
         state.update((d, emitted or fire))
         if fire:
             yield pd.DataFrame({"vertex": [key[0]], "degree": [d]})

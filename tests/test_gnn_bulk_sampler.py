@@ -232,6 +232,15 @@ def test_feature_store_numpy_and_dataframe(spark):
     with pytest.raises(ValueError):
         fs.get_data([99], "user", "emb")
 
+    # vertex-only frame: clear error, not IndexError
+    with pytest.raises(ValueError, match="no columns besides"):
+        fs.add_data(arr_df.select("vertex"), "bad", "none")
+    # array column mixed with a scalar column: refuse instead of
+    # silently casting the array to double (null elements)
+    mixed = arr_df.withColumn("scalar", F.lit(1.0))
+    with pytest.raises(ValueError, match="cannot mix array"):
+        fs.add_data(mixed, "bad", "mix")
+
 
 def test_batched_single_batch_matches_unbatched_shape(spark):
     """One batch through the batched path produces a valid sample of

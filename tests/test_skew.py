@@ -91,3 +91,16 @@ def test_salted_plan_shape(spark):
     # the _salt alias to _groupingexpression in the physical plan
     assert "pmod(xxhash64" in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_salted_sum_constant_messages(spark):
+    # constant value columns (e.g. lit(1.0) count messages) used to
+    # hash every hub row into ONE salt bucket; the default salt now
+    # folds in the map-partition id, and the sum is unchanged
+    e = edges_df(spark, make_edges("hub"))
+    msgs = e.select("dst", F.lit(1.0).alias("msg")).repartition(4)
+    plain = {r["dst"]: r["m"]
+             for r in msgs.groupBy("dst").agg(F.sum("msg").alias("m")).collect()}
+    salted = {r["dst"]: r["msg"]
+              for r in salted_sum(msgs, "dst", "msg", salt=4).collect()}
+    assert plain == salted

@@ -221,18 +221,20 @@ def test_running_user_totals_stateful(spark, tmp_path):
 
 def test_streaming_hub_detector_exactly_once(spark, tmp_path):
     """Hubs are emitted exactly once, at the batch where cumulative
-    degree first crosses the threshold."""
+    degree first EXCEEDS the threshold (strict >, matching
+    plans/skew.py:hub_vertices)."""
     src = str(tmp_path / "ev5")
     mk = lambda rows: spark.createDataFrame(rows, "src bigint, dst bigint")
-    # batch 1: v7 degree 3 (crosses), v9 degree 2 (not yet)
+    # threshold=2, strict >: batch 1: v7 degree 3 (exceeds), v9 degree 2
+    # (== threshold → not a hub yet)
     b1 = mk([(7, 1), (7, 2), (7, 3), (9, 1), (9, 2)])
-    # batch 2: v9 +1 (crosses now), v7 +2 (must NOT re-emit)
+    # batch 2: v9 +1 (exceeds now), v7 +2 (must NOT re-emit)
     b2 = mk([(9, 3), (7, 4), (7, 5), (11, 1)])
     _drop(b1, src)
 
     stream = _start_file_stream(spark, src, b1.schema)
     q = (
-        streaming_hub_detector(stream, threshold=3)
+        streaming_hub_detector(stream, threshold=2)
         .writeStream.format("memory")
         .queryName("hubs")
         .outputMode("update")
