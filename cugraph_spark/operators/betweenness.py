@@ -59,7 +59,12 @@ def _brandes(
     V = verts.count()
 
     if sources is not None:
-        src_df = sources.select(F.col(sources.columns[0]).alias("source"))
+        # dedup: duplicate source rows would inflate n_sources (and so
+        # deflate the V/n_sources estimator scale) while the batched
+        # BFS, keyed on the source value, still runs each tree once
+        src_df = sources.select(
+            F.col(sources.columns[0]).alias("source")
+        ).distinct()
     elif k is not None:
         # top-k by seeded hash = deterministic uniform sample (Spark
         # plans this as TakeOrderedAndProject — no global sort stage)
@@ -197,7 +202,7 @@ def betweenness_centrality(
         scale = 0.5
     else:
         scale = 1.0
-    if n_sources < V:
+    if 0 < n_sources < V:  # n_sources=0 → acc is None → all-zero out
         scale *= V / n_sources
     out = out.select(
         "vertex", (F.col("bc") * F.lit(scale)).alias("betweenness_centrality")
@@ -239,7 +244,7 @@ def edge_betweenness_centrality(
         scale = 0.5
     else:
         scale = 1.0
-    if n_sources < V:
+    if 0 < n_sources < V:  # n_sources=0 → acc is None → all-zero out
         scale *= V / n_sources
     out = out.select(
         SRC, DST, (F.col("bc") * F.lit(scale)).alias("betweenness_centrality")

@@ -534,9 +534,9 @@ def ktruss_subgraph(G: Graph, k: int, max_iter: int = 100) -> Graph:
     """Reference ``ktruss_subgraph`` export (community/ktruss_subgraph.py):
     the k-truss as a Graph (k_truss returns the surviving edge list)."""
     surv = k_truss(G, k, max_iter=max_iter)  # [src, dst] with src < dst
-    e = surv.join(
-        G.edges.filter(F.col(SRC) < F.col(DST)), [SRC, DST], "inner"
-    ) if WGT in G.edges.columns else surv.withColumn(WGT, F.lit(1.0))
+    # Graph always materializes a weight column (lit(1.0) when
+    # unweighted), so rejoining the originals recovers it in both cases
+    e = surv.join(G.edges.filter(F.col(SRC) < F.col(DST)), [SRC, DST], "inner")
     return Graph(e, directed=False, weighted=G.weighted)
 
 

@@ -83,23 +83,27 @@ def core_number(
             .groupBy(DST)
             .agg(F.max(F.least(F.col("nbr_core"), F.col("cum"))).alias("h"))
         )
-        new_state = (
+        # carry the old core through the update so the changed-count
+        # needs no extra state self-join (same idiom as wcc/lpa/scc)
+        new_full = (
             state.join(h, state["vertex"] == h[DST], "left")
             .select(
                 state["vertex"],
                 F.least(
                     state["core"], F.coalesce("h", F.lit(0))
                 ).alias("core"),
+                state["core"].alias("old"),
             )
             .repartition(P, "vertex")
             .transform(truncate_plan)
         )
         changed = (
-            new_state.join(state.select("vertex", F.col("core").alias("old")), "vertex")
-            .agg(F.sum(F.when(F.col("core") != F.col("old"), 1).otherwise(0)).alias("c"))
+            new_full.agg(
+                F.sum(F.when(F.col("core") != F.col("old"), 1).otherwise(0)).alias("c")
+            )
             .first()["c"]
         )
-        state = new_state
+        state = new_full.select("vertex", "core")
         if changed == 0:
             break
 

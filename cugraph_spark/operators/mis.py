@@ -70,6 +70,19 @@ def maximal_independent_set(
         )
         dead = sel.unionByName(nbrs).distinct()
         active = active.join(dead, "vertex", "left_anti").transform(truncate_plan)
+    else:
+        # the emptiness probe runs at the TOP of each round, so re-probe
+        # before declaring failure; Luby halves the active set in
+        # expectation so 100 rounds cover any realistic input — but an
+        # exhausted loop with active vertices left would silently return
+        # a NON-maximal set (every still-active vertex gets
+        # in_mis=False). Fail loudly instead, like vertex_coloring does.
+        if not active.isEmpty():
+            edges.unpersist()
+            raise RuntimeError(
+                f"maximal_independent_set did not converge in "
+                f"{max_rounds} rounds; raise max_rounds"
+            )
 
     out = G.vertices().join(
         (chosen or G.vertices().limit(0)).withColumn("in_mis", F.lit(True)),

@@ -341,6 +341,14 @@ def pagerank(
                         {"l1": -1.0, "dangling_sum": dangling, "alpha": alpha,
                          "tol": tol, "final": True})
 
+    if chained:
+        # the chained loop ran ZERO actions, so nothing has executed
+        # yet — materialize the whole superstep chain NOW (one terminal
+        # job, the same single job the design promises) while the
+        # persisted edges/vstate caches are still registered; the
+        # unpersist below would otherwise drop them BEFORE the caller's
+        # first action, recomputing the O(E) edge shuffle every superstep
+        state = truncate_plan(state.select("vertex", "ows", "rank"), eager=True)
     result = state.select("vertex", F.col("rank").alias("pagerank"))
     edges.unpersist()
     vstate.unpersist()

@@ -208,7 +208,11 @@ def uniform_neighbor_sample(
     (slot s draws ``xxhash64(src, hop, s, seed) mod degree``), so the
     same neighbor can repeat. Both are vectorized, deterministic, and
     partitioning-invariant."""
-    edges = G.edges.select(SRC, DST, WGT).persist(StorageLevel.MEMORY_AND_DISK)
+    # lazy checkpoint, not persist/unpersist: this loop runs ZERO
+    # actions, so an unpersist-before-return would drop the cache before
+    # the caller's first action and every hop would rescan the source;
+    # the checkpoint RDD materializes once inside the terminal job
+    edges = G.edges.select(SRC, DST, WGT).transform(truncate_plan)
     frontier = start_vertices.select(
         F.col(start_vertices.columns[0]).alias("v")
     ).distinct()
@@ -246,7 +250,6 @@ def uniform_neighbor_sample(
             )
         samples = picked if samples is None else samples.unionByName(picked)
         frontier = picked.select(F.col(DST).alias("v")).distinct()
-    edges.unpersist()
     return samples if samples is not None else G.edges.limit(0).withColumn(
         "hop", F.lit(0)
     )
@@ -277,7 +280,9 @@ def uniform_neighbor_sample_batched(
     the output is deterministic at any parallelism. Returns
     [batch_id, src, dst, weight, hop].
     """
-    edges = G.edges.select(SRC, DST, WGT).persist(StorageLevel.MEMORY_AND_DISK)
+    # lazy checkpoint — same zero-actions-in-loop reason as
+    # uniform_neighbor_sample above
+    edges = G.edges.select(SRC, DST, WGT).transform(truncate_plan)
     frontier = seeds.select(
         F.col(batch_col).cast("long").alias("b"),
         F.col(start_col).alias("v"),
@@ -322,7 +327,6 @@ def uniform_neighbor_sample_batched(
             )
         samples = picked if samples is None else samples.unionByName(picked)
         frontier = picked.select("b", F.col(DST).alias("v")).distinct()
-    edges.unpersist()
     out = samples if samples is not None else (
         G.edges.limit(0)
         .withColumn("b", F.lit(0).cast("long"))

@@ -59,12 +59,30 @@ def _pair_intersections(
         .agg(F.count("*").alias("isect"))
     )
     if pairs is not None:
-        want = pairs.select(
+        # canonicalize only for the lookup; the output keeps the
+        # caller's orientation and multiplicity (reference contract:
+        # one result row per input pair row, keyed as given). Left
+        # joins + coalesce-0 keep pairs whose endpoint has no edges
+        # (degree 0) instead of silently dropping them — the symmetric
+        # coefficient formulas don't care which endpoint d_a labels.
+        keyed = pairs.select(
+            F.col(pairs.columns[0]).alias("pa"),
+            F.col(pairs.columns[1]).alias("pb"),
             F.least(pairs.columns[0], pairs.columns[1]).alias("a"),
             F.greatest(pairs.columns[0], pairs.columns[1]).alias("b"),
-        ).distinct()
-        isect = want.join(isect, ["a", "b"], "left").select(
-            "a", "b", F.coalesce("isect", F.lit(0)).alias("isect")
+        )
+        return (
+            keyed.join(isect, ["a", "b"], "left")
+            .join(deg.select(F.col("v").alias("a"), F.col("d").alias("d_a")),
+                  "a", "left")
+            .join(deg.select(F.col("v").alias("b"), F.col("d").alias("d_b")),
+                  "b", "left")
+            .select(
+                F.col("pa").alias("a"), F.col("pb").alias("b"),
+                F.coalesce("isect", F.lit(0)).alias("isect"),
+                F.coalesce("d_a", F.lit(0)).alias("d_a"),
+                F.coalesce("d_b", F.lit(0)).alias("d_b"),
+            )
         )
     return (
         isect.join(deg.select(F.col("v").alias("a"), F.col("d").alias("d_a")), "a")
@@ -110,14 +128,34 @@ def _pair_intersections_weighted(
         )
     )
     if pairs is not None:
-        want = pairs.select(
+        # same contract as the unweighted path: caller orientation and
+        # multiplicity preserved, endpoints without edges kept with
+        # weighted degree 0 (w_union stays internally consistent — the
+        # wd/w_i pairing is canonical on both terms, and every public
+        # formula is symmetric in the endpoints)
+        keyed = pairs.select(
+            F.col(pairs.columns[0]).alias("pa"),
+            F.col(pairs.columns[1]).alias("pb"),
             F.least(pairs.columns[0], pairs.columns[1]).alias("a"),
             F.greatest(pairs.columns[0], pairs.columns[1]).alias("b"),
-        ).distinct()
-        isect = want.join(isect, ["a", "b"], "left").select(
-            "a", "b",
-            *[F.coalesce(c, F.lit(0.0)).alias(c)
-              for c in ("w_min", "w_max", "w_ia", "w_ib")],
+        )
+        return (
+            keyed.join(isect, ["a", "b"], "left")
+            .join(wdeg.select(F.col("v").alias("a"), F.col("wd").alias("wd_a")),
+                  "a", "left")
+            .join(wdeg.select(F.col("v").alias("b"), F.col("wd").alias("wd_b")),
+                  "b", "left")
+            .select(
+                F.col("pa").alias("a"), F.col("pb").alias("b"),
+                *[F.coalesce(c, F.lit(0.0)).alias(c)
+                  for c in ("w_min", "w_max", "w_ia", "w_ib",
+                            "wd_a", "wd_b")],
+            )
+            .withColumn(
+                "w_union",
+                F.col("w_max") + (F.col("wd_a") - F.col("w_ia"))
+                + (F.col("wd_b") - F.col("w_ib")),
+            )
         )
     return (
         isect.join(wdeg.select(F.col("v").alias("a"), F.col("wd").alias("wd_a")), "a")

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import DST, SRC, WGT, Graph
+from .pagerank import FailedToConvergeError
 
 
 def minimum_spanning_tree(G: Graph, max_rounds: int = 64) -> DataFrame:
@@ -82,7 +83,7 @@ def minimum_spanning_tree(G: Graph, max_rounds: int = 64) -> DataFrame:
                 pe_sym.join(relabel, pe_sym["a"] == relabel["node"])
                 .groupBy("b").agg(F.min("lbl").alias("nm"))
             )
-            new_rel = (
+            lowered = (
                 relabel.join(mins, relabel["node"] == mins["b"], "left")
                 .select(
                     relabel["node"],
@@ -91,17 +92,59 @@ def minimum_spanning_tree(G: Graph, max_rounds: int = 64) -> DataFrame:
                 )
                 .transform(truncate_plan)
             )
-            ch = new_rel.agg(
+            # pointer jump (lbl ← lbl(lbl), same idiom as wcc.py): the
+            # picked edges form merge chains up to #components long, so
+            # plain hash-min alone needs O(chain) rounds — jumping makes
+            # it O(log chain), and max_rounds=64 then covers any input
+            lab2 = lowered.select(
+                F.col("node").alias("ln"), F.col("lbl").alias("ll")
+            )
+            jumped = (
+                lowered.join(lab2, lowered["lbl"] == lab2["ln"], "left")
+                .select(
+                    lowered["node"],
+                    F.coalesce("ll", lowered["lbl"]).alias("lbl"),
+                    lowered["old"],
+                )
+                .transform(truncate_plan)
+            )
+            ch = jumped.agg(
                 F.sum(F.when(F.col("lbl") != F.col("old"), 1).otherwise(0))
             ).first()[0]
-            relabel = new_rel.select("node", "lbl")
+            relabel = jumped.select("node", "lbl")
             if not ch:
                 break
+        else:
+            # a silent fall-through would leave two halves of one merged
+            # component labeled differently and let round 2 add a cycle
+            # edge — fail loudly instead
+            und.unpersist()
+            raise FailedToConvergeError(
+                f"MST component merge did not converge in {max_rounds} rounds"
+            )
         comp = (
             comp.join(relabel, comp["c"] == relabel["node"])
             .select(comp["vertex"], F.col("lbl").alias("c"))
             .transform(truncate_plan)
         )
+    else:
+        # the emptiness probe runs at the TOP of each round, so a run
+        # that merges everything in the final round lands here too —
+        # re-probe before declaring failure; components at least halve
+        # per Borůvka round, so with pointer-jumped merges 64 rounds
+        # cover any input, but never return a non-spanning forest
+        # silently if the bound is ever lowered
+        lab = comp.select(F.col("vertex").alias("v"), F.col("c"))
+        remaining = (
+            und.join(lab.withColumnRenamed("v", SRC).withColumnRenamed("c", "c_src"), SRC)
+            .join(lab.withColumnRenamed("v", DST).withColumnRenamed("c", "c_dst"), DST)
+            .filter(F.col("c_src") != F.col("c_dst"))
+        )
+        if not remaining.isEmpty():
+            und.unpersist()
+            raise FailedToConvergeError(
+                f"Borůvka did not converge in {max_rounds} rounds"
+            )
 
     und.unpersist()
     if chosen is None:

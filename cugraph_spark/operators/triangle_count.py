@@ -31,7 +31,6 @@ from __future__ import annotations
 
 from ..plans.lineage import truncate_plan
 
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -126,7 +125,12 @@ def triangle_count(
     if G.directed:
         raise ValueError("triangle_count requires an undirected graph")
 
-    o = _oriented_edges(G, prune_rounds).persist(StorageLevel.MEMORY_AND_DISK)
+    # lazy checkpoint, not persist/unpersist: no action runs inside this
+    # function, so an unpersist-before-return would deregister the cache
+    # before the caller's first action and each of the three self-join
+    # legs would recompute the orientation; the checkpoint RDD instead
+    # materializes once inside the terminal job and all legs read it
+    o = _oriented_edges(G, prune_rounds).transform(truncate_plan)
 
     e1 = o.select(F.col(SRC).alias("u"), F.col(DST).alias("v"))
     e2 = o.select(F.col(SRC).alias("v"), F.col(DST).alias("w"))
@@ -154,7 +158,6 @@ def triangle_count(
     if start_list is not None:
         sl = start_list.select(F.col(start_list.columns[0]).alias("vertex"))
         result = result.join(sl, "vertex", "left_semi")
-    o.unpersist()
     return result
 
 
@@ -164,7 +167,8 @@ def edge_triangle_count(G: Graph) -> DataFrame:
     Returns ``[src, dst, counts]`` with src < dst."""
     if G.directed:
         raise ValueError("edge_triangle_count requires an undirected graph")
-    o = _oriented_edges(G).persist(StorageLevel.MEMORY_AND_DISK)
+    # lazy checkpoint for the same reason as triangle_count above
+    o = _oriented_edges(G).transform(truncate_plan)
     e1 = o.select(F.col(SRC).alias("u"), F.col(DST).alias("v"))
     e2 = o.select(F.col(SRC).alias("v"), F.col(DST).alias("w"))
     e3 = o.select(F.col(SRC).alias("u"), F.col(DST).alias("w"))
@@ -186,5 +190,4 @@ def edge_triangle_count(G: Graph) -> DataFrame:
     out = und.join(counts, [SRC, DST], "left").select(
         SRC, DST, F.coalesce("counts", F.lit(0)).cast("long").alias("counts")
     )
-    o.unpersist()
     return out

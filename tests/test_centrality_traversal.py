@@ -142,8 +142,39 @@ def test_jaccard_explicit_pairs(spark):
     ref = jaccard_ref(sym_tuples(edges))
     isect, da, db = ref[(0, 1)]
     assert abs(got[(0, 1)] - isect / (da + db - isect)) < 1e-12
+    # output keys keep the CALLER's orientation: (4,0) stays (4,0)
     i2, d4a, d4b = ref[(0, 4)]  # 0 and 4 share neighbor 3
-    assert abs(got[(0, 4)] - i2 / (d4a + d4b - i2)) < 1e-12
+    assert abs(got[(4, 0)] - i2 / (d4a + d4b - i2)) < 1e-12
+    assert set(got) == {(0, 1), (4, 0)}
+
+
+def test_jaccard_pairs_isolated_endpoint_and_multiplicity(spark):
+    """Requested pairs whose endpoint has no edges must come back with
+    coefficient 0.0 (not vanish), and duplicate input rows must each
+    produce an output row."""
+    edges = make_edges("triangle_mesh")
+    G = Graph(edges_df(spark, edges), directed=False)
+    # 99 is not a vertex of the graph; (1,3) requested twice
+    pairs = spark.createDataFrame(
+        [(1, 99), (1, 3), (1, 3)], "u long, v long"
+    )
+    rows = jaccard(G, pairs).collect()
+    assert len(rows) == 3
+    got = {}
+    for r in rows:
+        got.setdefault((r["first"], r["second"]), []).append(r["jaccard_coeff"])
+    assert got[(1, 99)] == [0.0]
+    assert len(got[(1, 3)]) == 2
+    ref = jaccard_ref(sym_tuples(edges))
+    isect, da, db = ref[(1, 3)]
+    want = isect / (da + db - isect)
+    assert all(abs(v - want) < 1e-12 for v in got[(1, 3)])
+    # weighted path: same contract (weights are all 1.0 in the fixture,
+    # so the weighted coefficient of an isolated pair is also 0.0)
+    wrows = jaccard(G, pairs, use_weight=True).collect()
+    assert len(wrows) == 3
+    wmap = {(r["first"], r["second"]): r["jaccard_coeff"] for r in wrows}
+    assert wmap[(1, 99)] == 0.0
 
 
 def test_betweenness_matches_oracle_directed(spark):
@@ -196,6 +227,27 @@ def test_betweenness_sampled_sources(spark):
     ref = betweenness_ref(edges, directed=True, normalized=False, sources=srcs)
     for v, b in got.items():
         assert abs(b - ref[v]) < 1e-9, f"vertex {v}"
+
+
+def test_betweenness_duplicate_and_empty_sources(spark):
+    from cugraph_spark.operators.betweenness import betweenness_centrality
+    from .conftest import edges_df, make_edges
+
+    edges = make_edges("line")
+    G = Graph(edges_df(spark, edges), directed=True)
+    dup = spark.createDataFrame([(0,), (0,), (1,)], "v long")
+    uniq = spark.createDataFrame([(0,), (1,)], "v long")
+    got_dup = {r["vertex"]: r["betweenness_centrality"]
+               for r in betweenness_centrality(G, sources=dup, normalized=False).collect()}
+    got_uniq = {r["vertex"]: r["betweenness_centrality"]
+                for r in betweenness_centrality(G, sources=uniq, normalized=False).collect()}
+    # duplicate source rows must not deflate the V/n_sources estimator
+    assert got_dup == got_uniq
+    # empty source set: all-zero result, not ZeroDivisionError
+    empty = spark.createDataFrame([], "v long")
+    got_empty = {r["vertex"]: r["betweenness_centrality"]
+                 for r in betweenness_centrality(G, sources=empty).collect()}
+    assert set(got_empty.values()) == {0.0}
 
 
 def test_edge_betweenness_matches_oracle_directed(spark):

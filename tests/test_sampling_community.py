@@ -152,3 +152,17 @@ def test_mst_matches_kruskal(spark, kind):
     # (weight,src,dst) ordering, on the exact edge set
     assert abs(sum(w for *_, w in got) - sum(w for *_, w in ref)) < 1e-9
     assert len(got) == len(ref)
+
+
+def test_mst_long_merge_chain(spark):
+    """A path with strictly decreasing weights makes round 1 pick every
+    edge, producing ONE merge chain as long as the path — the hash-min
+    component merge needs pointer jumping (plain propagation would blow
+    the round budget and, before the convergence guard, silently
+    returned inconsistent labels)."""
+    n = 90
+    edges = [(i, i + 1, float(n - i)) for i in range(n)]
+    G = Graph(edges_df(spark, edges), directed=False)
+    got = sorted((r["src"], r["dst"], r["weight"]) for r in minimum_spanning_tree(G).collect())
+    ref = sorted(mst_ref(edges))
+    assert got == ref  # a path IS its own MST: exact edge set
