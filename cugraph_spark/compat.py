@@ -38,6 +38,16 @@ def _spark() -> SparkSession:
     return s
 
 
+def _resolve_create_using(create_using):
+    """(class, directed) from a ``create_using`` that is either a Graph
+    subclass (directedness from its class-level ``DIRECTED`` default)
+    or, like the reference accepts, an instance (directedness from the
+    instance — ``cugraph.Graph(directed=True)`` idiom)."""
+    if isinstance(create_using, Graph):
+        return type(create_using), create_using.directed
+    return create_using, getattr(create_using, "DIRECTED", True)
+
+
 # ---- constructors (convert_matrix.py:30-356, graph_classes.py) ----
 
 def from_edgelist(
@@ -53,9 +63,10 @@ def from_edgelist(
     type the same way)."""
     if not isinstance(df, DataFrame):
         df = _spark().createDataFrame(df)
-    return create_using.from_edgelist(
+    cls, directed = _resolve_create_using(create_using)
+    return cls.from_edgelist(
         df, src_col=source, dst_col=destination, weight_col=edge_attr,
-        directed=getattr(create_using, "DIRECTED", True),
+        directed=directed,
         do_renumber=renumber,
     )
 
@@ -79,22 +90,20 @@ def from_pandas_edgelist(
 
 
 def from_adjlist(offsets, indices, values=None, create_using=Graph):
-    return create_using.from_adjlist(
-        _spark(), offsets, indices, weights=values,
-        directed=getattr(create_using, "DIRECTED", True),
+    cls, directed = _resolve_create_using(create_using)
+    return cls.from_adjlist(
+        _spark(), offsets, indices, weights=values, directed=directed,
     )
 
 
 def from_pandas_adjacency(df, create_using=Graph):
-    return create_using.from_pandas_adjacency(
-        _spark(), df, directed=getattr(create_using, "DIRECTED", True)
-    )
+    cls, directed = _resolve_create_using(create_using)
+    return cls.from_pandas_adjacency(_spark(), df, directed=directed)
 
 
 def from_numpy_array(A, create_using=Graph):
-    return create_using.from_numpy_array(
-        _spark(), A, directed=getattr(create_using, "DIRECTED", True)
-    )
+    cls, directed = _resolve_create_using(create_using)
+    return cls.from_numpy_array(_spark(), A, directed=directed)
 
 
 from_numpy_matrix = from_numpy_array

@@ -100,7 +100,12 @@ def cosine_topk_bruteforce(
     )
     partial = c.mapInPandas(
         score, schema="query_id long, vec_id long, cosine double"
-    ).filter(F.col("vec_id") != F.col("query_id"))
+    )
+    if query_id_col is None:
+        # only drop self-matches when query ids ARE corpus ids; a
+        # separate query id space can legitimately collide numerically
+        # with a corpus id whose vector is a true nearest neighbor
+        partial = partial.filter(F.col("vec_id") != F.col("query_id"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return partial.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
@@ -138,7 +143,9 @@ def lsh_bucket(
     of ⟨v, plane_i⟩. Planes are deterministic literals compiled into
     the expression (broadcast-free, JVM-side)."""
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        head = df.select(vec_col).head(1)
+        # empty input: every downstream result is empty, any dim works
+        dim = len(head[0][0]) if head else 1
     planes = _hyperplanes(dim, n_planes, seed)
     v = F.col(vec_col).cast("array<double>")
     bucket = F.lit(0).cast("long")

@@ -39,10 +39,25 @@ DST = "dst"
 WGT = "weight"
 
 
+_NUMERIC_ID_PREFIXES = (
+    "tinyint", "smallint", "int", "bigint", "float", "double", "decimal"
+)
+
+
 def _check_edge_cols(edges: DataFrame, weighted: bool) -> DataFrame:
     cols = set(edges.columns)
     if SRC not in cols or DST not in cols:
         raise ValueError(f"edge DataFrame needs columns '{SRC}','{DST}'; got {edges.columns}")
+    dtypes = dict(edges.dtypes)
+    for c in (SRC, DST):
+        if not str(dtypes[c]).startswith(_NUMERIC_ID_PREFIXES):
+            # cast("long") of a non-numeric id yields NULL (non-ANSI),
+            # which would silently collapse every edge onto (NULL,NULL)
+            raise ValueError(
+                f"vertex id column {c!r} has non-numeric type "
+                f"{dtypes[c]!r}; renumber first (Graph.from_edgelist("
+                "..., do_renumber=True) or cugraph_spark.renumber)"
+            )
     out = [F.col(SRC).cast("long").alias(SRC), F.col(DST).cast("long").alias(DST)]
     if weighted:
         if WGT in cols:
@@ -68,6 +83,19 @@ def symmetrize(edges: DataFrame) -> DataFrame:
         .groupBy(SRC, DST)
         .agg(F.min(WGT).alias(WGT))
     )
+
+
+def symmetrize_multi(edges: DataFrame) -> DataFrame:
+    """Multigraph symmetrize: union with reversed edges WITHOUT the
+    min-weight dedup (cugraph ``symmetrize(..., multi=True)`` keeps
+    duplicates). Self-loops are not mirrored, so each parallel
+    self-loop stays one stored row — the same per-edge storage count
+    as the simple path's groupBy dedup, which keeps
+    ``number_of_edges`` one formula for both."""
+    rev = edges.filter(F.col(SRC) != F.col(DST)).select(
+        F.col(DST).alias(SRC), F.col(SRC).alias(DST), F.col(WGT)
+    )
+    return edges.select(SRC, DST, WGT).unionByName(rev)
 
 
 def remove_self_loops(edges: DataFrame) -> DataFrame:
@@ -184,6 +212,10 @@ class Graph:
     # reverse, community._as_graph) are safe without re-running __init__
     pre_partitioned = False
     _nv_cache = None
+    # default directedness when the class is used as a create_using
+    # factory (compat.from_edgelist etc.) — matches each class's
+    # __init__ default
+    DIRECTED = True
 
     def __init__(
         self,
@@ -204,8 +236,10 @@ class Graph:
             # assume_symmetric declares the input is ALREADY the
             # symmetrized physical form (e.g. a bucketed table written
             # from Graph.edges of an undirected graph) — skipping the
-            # re-symmetrize keeps the on-disk layout usable.
-            e = symmetrize(e)
+            # re-symmetrize keeps the on-disk layout usable. Multigraphs
+            # must keep parallel edges: the simple symmetrize's
+            # min-weight groupBy would silently collapse them.
+            e = symmetrize_multi(e) if multi_edge else symmetrize(e)
             transformed = True
         self.edges = e
         self.directed = directed
@@ -379,8 +413,18 @@ class Graph:
         return cache[1]
 
     def number_of_edges(self) -> int:
-        n = self.edges.count()
-        return n // 2 if not self.directed else n
+        if self.directed:
+            return self.edges.count()
+        # self-loops are stored ONCE in the symmetrized layout (both the
+        # simple dedup and symmetrize_multi keep one row per self-loop),
+        # so a plain n//2 would halve them away
+        row = self.edges.agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.sum(F.when(F.col(SRC) == F.col(DST), 1)), F.lit(0)
+            ).alias("sl"),
+        ).first()
+        return (row["n"] - row["sl"]) // 2 + row["sl"]
 
     def has_node(self, v) -> bool:
         return self.vertices().filter(F.col("vertex") == v).limit(1).count() > 0
@@ -495,6 +539,8 @@ class MultiGraph(Graph):
     are retained (``multi_edge=True`` forced); ``density`` is undefined
     (raises TypeError, mirroring the reference's contract)."""
 
+    DIRECTED = False
+
     def __init__(self, edges: DataFrame, directed: bool = False, **kw):
         kw["multi_edge"] = True
         super().__init__(edges, directed=directed, **kw)
@@ -510,6 +556,8 @@ class Tree(Graph):
     """cugraph ``Tree`` (graph_classes.py:823-830) — a Graph flagged as
     a tree; the flag is advisory metadata, as in the reference."""
 
+    DIRECTED = False
+
     def __init__(self, edges: DataFrame, directed: bool = False, **kw):
         super().__init__(edges, directed=directed, **kw)
         self.tree = True
@@ -520,6 +568,8 @@ class NPartiteGraph(Graph):
     membership is user-declared via ``add_nodes_from(bipartite=...)``
     (the reference does not verify partiteness either — its
     ``is_bipartite`` 'solely relies on the user call')."""
+
+    DIRECTED = False
 
     def __init__(self, edges: DataFrame, directed: bool = False,
                  bipartite: bool = False, **kw):

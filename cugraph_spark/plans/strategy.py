@@ -37,6 +37,22 @@ def vertex_join_side(state: DataFrame, n_vertices: int | None,
     return state.hint("shuffle_hash")
 
 
+def _parse_bytes(raw, default: int) -> int:
+    """Spark size-config parser: bare bytes or a k/m/g/t suffix with
+    optional trailing 'b' ("128m", "128MB", "1g", "134217728")."""
+    s = str(raw).strip().lower()
+    if s.endswith("b"):
+        s = s[:-1]
+    mult = 1
+    if s and s[-1] in "kmgt":
+        mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}[s[-1]]
+        s = s[:-1]
+    try:
+        return int(s) * mult
+    except ValueError:
+        return default
+
+
 # ------------------------------------------------ adaptive partitions
 
 ADAPTIVE_MAX_PARTITIONS = 32_768
@@ -78,7 +94,7 @@ def adaptive_partitions(
         return fallback
     if target_bytes is None:
         raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-        target_bytes = int(str(raw).lower().rstrip("b") or 134217728)
+        target_bytes = _parse_bytes(raw, 134217728)
     floor = min_partitions or spark.sparkContext.defaultParallelism
     return max(floor, min(max_partitions, -(-size // target_bytes)))
 

@@ -226,7 +226,7 @@ class PropertyGraph:
 def hypergraph(
     df: DataFrame,
     columns: list[str] | None = None,
-    categorical_cols: list[str] | None = None,
+    categories: dict | None = None,
     direct: bool = False,
     row_id_col: str = "row_id",
 ) -> DataFrame:
@@ -237,9 +237,14 @@ def hypergraph(
     ``"row::<id>"`` / ``"<col>::<value>"`` (the reference's
     ``col::value`` naming). ``direct=True``: value-nodes connected
     pairwise per row (the reference's direct mode), skipping
-    row-nodes. Returns an edge DataFrame (src, dst, weight).
+    row-nodes. ``categories`` maps column → category name so columns
+    with the same kinds of values share one node namespace
+    (``cat::value``), exactly the reference's ``categories`` knob
+    (hypergraph.py:105-108, ``cat = categories.get(key, key)``).
+    Returns an edge DataFrame (src, dst, weight).
     """
     cols = columns or [c for c in df.columns if c != row_id_col]
+    categories = categories or {}
     base = df.withColumn(
         "__rid",
         F.concat(F.lit("row::"), F.col(row_id_col).cast("string"))
@@ -249,7 +254,9 @@ def hypergraph(
     val_nodes = [
         F.when(
             F.col(c).isNotNull(),
-            F.concat(F.lit(c + "::"), F.col(c).cast("string")),
+            F.concat(
+                F.lit(categories.get(c, c) + "::"), F.col(c).cast("string")
+            ),
         ).alias(c)
         for c in cols
     ]

@@ -33,7 +33,17 @@ def read_mtx_edges(spark: SparkSession, path: str) -> tuple[DataFrame, bool]:
         raise ValueError(f"not a MatrixMarket file: {path!r} (banner {banner!r})")
     if "coordinate" not in banner:
         raise ValueError("only coordinate (sparse) MatrixMarket supported")
-    symmetric = "symmetric" in banner
+    # exact token match: "skew-symmetric" would substring-match
+    # "symmetric" but needs A[j,i] = -A[i,j] (and "hermitian" needs
+    # conjugation) — refuse rather than silently mirror with the same
+    # weight
+    qualifier = banner.split()[-1]
+    if qualifier in ("skew-symmetric", "hermitian"):
+        raise ValueError(
+            f"MatrixMarket symmetry {qualifier!r} not supported "
+            "(only general and symmetric)"
+        )
+    symmetric = qualifier == "symmetric"
 
     lines = (
         spark.read.text(path)

@@ -61,7 +61,9 @@ class EdgeLog:
             return False
         path = self._batch_dir(batch_id)
         edges.select("src", "dst", "weight").write.mode("overwrite").parquet(path)
-        n = edges.count()
+        # count the WRITTEN parquet, not the input plan — edges.count()
+        # would re-execute the whole micro-batch plan a second time
+        n = edges.sparkSession.read.parquet(path).count()
         with open(os.path.join(path, "_meta.json"), "w") as f:
             json.dump({"batch_id": batch_id, "rows": n}, f)
         return True

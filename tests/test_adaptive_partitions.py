@@ -69,3 +69,14 @@ def test_pagerank_auto_matches_default(spark):
     assert set(a) == set(b)
     for v in a:
         assert abs(a[v] - b[v]) < 1e-12
+
+
+def test_parse_bytes_suffixes():
+    from cugraph_spark.plans.strategy import _parse_bytes
+
+    assert _parse_bytes("134217728", 0) == 134217728
+    assert _parse_bytes("128m", 0) == 128 << 20
+    assert _parse_bytes("128MB", 0) == 128 << 20
+    assert _parse_bytes("1g", 0) == 1 << 30
+    assert _parse_bytes("64k", 0) == 64 << 10
+    assert _parse_bytes("bogus", 7) == 7

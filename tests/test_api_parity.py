@@ -301,3 +301,19 @@ def test_node2vec_module_spelling(spark):
     rows = walks.collect()
     assert {r["step"] for r in rows} <= {0, 1, 2, 3}
     assert len({r["walk_id"] for r in rows}) == 2
+
+
+def test_create_using_directedness(spark):
+    """create_using's class decides directedness: MultiGraph (reference
+    default undirected) must not silently come back directed."""
+    import pandas as pd
+
+    import cugraph_spark as cg
+
+    pdf = pd.DataFrame({"src": [0, 1], "dst": [1, 2], "w": [1.0, 1.0]})
+    Gd = cg.from_pandas_edgelist(pdf, edge_attr="w")
+    assert Gd.directed
+    Gm = cg.from_pandas_edgelist(pdf, edge_attr="w", create_using=cg.MultiGraph)
+    assert not Gm.directed
+    assert Gm.edges.count() == 4  # symmetrized
+    assert isinstance(Gm, cg.MultiGraph)

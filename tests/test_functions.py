@@ -237,3 +237,26 @@ def test_sample_frames(spark):
     frames = sample_frames(df, every_ms=1000).collect()
     assert len(frames) == 3
     assert sorted(r["frame"] for r in frames) == [0, 1, 2]
+
+
+def test_cosine_topk_separate_query_id_space(spark):
+    """With query_id_col declaring a separate id space, a corpus vector
+    whose id numerically equals a query id must NOT be dropped as a
+    self-match."""
+    corpus = spark.createDataFrame(
+        [(7, [1.0, 0.0]), (8, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(7, [1.0, 0.0])], "q_id long, embedding array<double>"
+    )
+    got = cosine_topk_bruteforce(
+        corpus, queries, k=1, query_id_col="q_id"
+    ).collect()
+    assert len(got) == 1 and got[0]["vec_id"] == 7
+    # same id space (no query_id_col): the self-match IS excluded
+    sq = spark.createDataFrame(
+        [(7, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    got2 = cosine_topk_bruteforce(corpus, sq, k=1).collect()
+    assert len(got2) == 1 and got2[0]["vec_id"] == 8

@@ -131,3 +131,39 @@ def test_vertex_count_memoized_and_invalidated(spark):
     H.directed = True
     assert H.pre_partitioned is False
     assert H.number_of_vertices() == 4
+
+
+def test_undirected_multigraph_keeps_parallel_edges(spark):
+    from cugraph_spark import MultiGraph
+
+    e = spark.createDataFrame(
+        [(0, 1, 1.0), (0, 1, 3.0), (1, 2, 1.0)],
+        "src long, dst long, weight double",
+    )
+    M = MultiGraph(e)  # directed defaults to False
+    # parallel edges survive the multigraph symmetrize (the simple
+    # path's min-weight groupBy used to collapse them)
+    assert M.edges.count() == 6  # 3 undirected edges x 2 orientations
+    assert M.number_of_edges() == 3
+    ws = sorted(r.weight for r in M.edges.filter("src = 0 AND dst = 1").collect())
+    assert ws == [1.0, 3.0]
+
+
+def test_number_of_edges_undirected_self_loop(spark):
+    df = edges_df(spark, [(0, 1, 1.0), (2, 2, 1.0)])
+    G = Graph(df, directed=False)
+    # self-loops are stored once in the symmetrized layout; a plain
+    # count//2 used to halve them away
+    assert G.number_of_edges() == 2
+    assert G.edges.count() == 3
+
+
+def test_non_numeric_ids_raise_without_renumber(spark):
+    df = spark.createDataFrame(
+        [("a", "b", 1.0)], "src string, dst string, weight double"
+    )
+    with pytest.raises(ValueError, match="non-numeric"):
+        Graph(df)
+    # the renumbering path handles any id type
+    G = Graph.from_edgelist(df, weight_col="weight", do_renumber=True)
+    assert G.number_of_vertices() == 2

@@ -146,6 +146,19 @@ def test_read_mtx(spark, tmp_path):
     got = sorted((r["src"], r["dst"]) for r in Gs.edges.collect())
     assert got == [(0, 1), (1, 0), (1, 2), (2, 1)]
 
+    # skew-symmetric would substring-match "symmetric" but needs
+    # negated mirror weights — must refuse, not silently mirror
+    pk = tmp_path / "k.mtx"
+    pk.write_text(
+        "%%MatrixMarket matrix coordinate real skew-symmetric\n"
+        "2 2 1\n"
+        "2 1 3.5\n"
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="skew-symmetric"):
+        read_mtx(spark, str(pk))
+
 
 def test_relabel_standalone(spark):
     df = spark.createDataFrame([(0, 10), (1, 11), (2, 12)], "v long, x long")

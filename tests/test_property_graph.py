@@ -115,3 +115,15 @@ def test_property_graph_selection_surface(spark):
     assert pg.select_edges("amt > 6").count() == 1
     pg.fillna_vertices(0)
     assert pg.get_vertex_data().filter("score IS NULL").count() == 0
+
+
+def test_hypergraph_categories(spark):
+    # reference categories knob: columns mapped to the same category
+    # share one value-node namespace (cat::value)
+    df = spark.createDataFrame(
+        [(1, "x", "y")], "row_id long, c1 string, c2 string"
+    )
+    e = hypergraph(df, categories={"c1": "cat", "c2": "cat"})
+    assert {r["dst"] for r in e.collect()} == {"cat::x", "cat::y"}
+    e2 = hypergraph(df)
+    assert {r["dst"] for r in e2.collect()} == {"c1::x", "c2::y"}
