@@ -18,8 +18,9 @@ Headline set (the north-rule metrics + pipeline representatives):
 - cosine_top1: brute-force nearest neighbor over embeddings;
 - text_scan: language-ID + quality + token counting single-pass scan.
 
-Set SPARK_GRAFT_BENCH_ONLY=name1,name2 to run a subset (used by the
-two-parallelism scaling harness, tools/bench_scaling.py).
+Set SPARK_GRAFT_BENCH_ONLY=name1,name2 to run a subset. (The
+two-parallelism scaling harness, tools/bench_scaling.py, runs its own
+inline worker and does not go through bench.py.)
 """
 
 from __future__ import annotations
@@ -106,7 +107,7 @@ def main():
         )
         extras["n_edges_cs"] = n_edges_cs
 
-    if only is None or "pagerank_rmat16" in only or "tc_rmat14" in only:
+    if only is None or "pagerank_rmat16" in only:
         e_rmat = rmat_edges(spark, scale=16, edgefactor=16, seed=42).persist()
         n_edges_rmat = e_rmat.count()
 
@@ -123,6 +124,10 @@ def main():
             extras["rmat_edges_per_sec_per_superstep"] = round(
                 n_edges_rmat / _median_steady(ts_rmat), 1
             )
+
+    if only is None or "tc_rmat14" in only:
+        # independent of the scale-16 graph above: builds its own
+        # scale-14 input, so a tc-only subset run skips that generation
 
         def _tc_rmat():
             e14 = rmat_edges(spark, scale=14, edgefactor=8, seed=42)

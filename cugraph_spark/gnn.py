@@ -42,6 +42,17 @@ from .operators.sampling import uniform_neighbor_sample_batched
 from .plans.lineage import truncate_plan
 
 
+def _with_batch_partition(df: DataFrame, batches_per_partition: int) -> DataFrame:
+    """``batch_partition = batch_id // batches_per_partition`` — the ONE
+    place the partitioning rule lives. floor, not cast: cast truncates
+    toward zero, which would collide caller batch ids -1 and +1 into
+    partition 0."""
+    return df.withColumn(
+        "batch_partition",
+        F.floor(F.col("batch_id") / F.lit(batches_per_partition)),
+    )
+
+
 def renumber_batch_samples(
     samples: DataFrame, seeds: DataFrame,
     start_col: str = "_START_", batch_col: str = "_BATCH_",
@@ -172,12 +183,7 @@ class BulkSampler:
             start_col=self.start_col_name,
             batch_col=self.batch_col_name,
         )
-        return out.withColumn(
-            "batch_partition",
-            # floor, not cast: cast truncates toward zero, which would
-            # collide caller batch ids -1 and +1 into partition 0
-            F.floor(F.col("batch_id") / F.lit(self.batches_per_partition)),
-        )
+        return _with_batch_partition(out, self.batches_per_partition)
 
     def flush(self) -> None:
         """Sample every pending batch in one plan and append the
@@ -194,10 +200,7 @@ class BulkSampler:
                 out.drop("batch_partition"), self._pending,
                 self.start_col_name, self.batch_col_name,
             )
-            out = renum.withColumn(
-                "batch_partition",
-                F.floor(F.col("batch_id") / F.lit(self.batches_per_partition)),
-            )
+            out = _with_batch_partition(renum, self.batches_per_partition)
             rmap.write.mode("append").parquet(
                 self.output_path.rstrip("/") + "_renumber_map"
             )
@@ -219,11 +222,10 @@ class DistSampleWriter:
         self._batches_per_partition = batches_per_partition
 
     def write_minibatches(self, samples: DataFrame) -> None:
-        out = samples.withColumn(
-            "batch_partition",
-            F.floor(F.col("batch_id") / F.lit(self._batches_per_partition)),
+        write_samples(
+            _with_batch_partition(samples, self._batches_per_partition),
+            self._directory,
         )
-        write_samples(out, self._directory)
 
     def get_reader(self, spark) -> "DistSampleReader":
         return DistSampleReader(self._directory, spark)
@@ -237,7 +239,16 @@ class DistSampleReader:
     by construction."""
 
     def __init__(self, directory: str, spark):
-        self._df = spark.read.parquet(directory)
+        try:
+            self._df = spark.read.parquet(directory)
+        except Exception:
+            # a sampler that produced zero edges leaves only _SUCCESS
+            # (partitionBy of an empty frame writes no data files), so
+            # schema inference fails — iterate as empty, don't crash
+            self._df = None
+            self._parts = []
+            self._i = 0
+            return
         self._parts = sorted(
             r["batch_partition"]
             for r in self._df.select("batch_partition").distinct().collect()

@@ -596,13 +596,11 @@ SELECT vertex, TRUE AS ok FROM verts
 def mis_invariants_sql(edges_sql: str) -> str:
     """Expected per-vertex invariant for q_mis: every vertex satisfies
     the MIS local condition (in-set → no neighbor in set; out-of-set →
-    ≥1 neighbor in set, which also forces isolated vertices in)."""
-    return f"""
-WITH e AS MATERIALIZED ({edges_sql}),
-verts AS MATERIALIZED (SELECT DISTINCT vertex FROM (
-    SELECT src AS vertex FROM e UNION ALL SELECT dst FROM e))
-SELECT vertex, TRUE AS ok FROM verts
-"""
+    ≥1 neighbor in set, which also forces isolated vertices in). The
+    generated SQL is the shared all-true vertex frame — the MIS logic
+    lives on the Spark side; MATERIALIZED hints were a no-op on this
+    2-CTE shape."""
+    return all_vertices_ok_sql(edges_sql)
 
 
 # ---------------------------------------------------- portable-hash twins

@@ -271,6 +271,9 @@ def hypergraph(
     ex = melted.select("__rid", F.explode("vals").alias("val")).filter(
         F.col("val").isNotNull()
     )
+    # per-row pair fan-out is ≤ len(cols)² — bounded by the SCHEMA, not
+    # the data — so unlike the similarity/edges_ss common-neighbor
+    # joins this self-join needs no hub salting
     a = ex.select(F.col("__rid").alias("r"), F.col("val").alias("src"))
     b = ex.select(F.col("__rid").alias("r"), F.col("val").alias("dst"))
     return (

@@ -124,11 +124,17 @@ GROUP BY 1, 2
 
 
 def edges_ss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .plans.skew import salted_common_neighbor_join
+
     ps = _read(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
-    a = ps.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("src"))
-    b = ps.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("dst"))
+    a = ps.select(F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("p"))
+    b = ps.select(F.col("l_suppkey").alias("dst"), F.col("l_partkey").alias("p"))
+    # co-supplier pairs per shared part: the same d(w)² hub-square shape
+    # as the similarity common-neighbor join, so route it through the
+    # salted join (identical output; a part with millions of suppliers
+    # splits across salt tasks instead of one)
     return (
-        a.join(b, "p")
+        salted_common_neighbor_join(a, b, "p")
         .filter(F.col("src") < F.col("dst"))
         .select(F.col("src").cast("long"), F.col("dst").cast("long"))
         .distinct()
@@ -1488,19 +1494,11 @@ def q_k_truss(spark, sf_dir):
     return k_truss(G, 4)
 
 
-def q_random_walks(spark, sf_dir):
-    """Invariant-checked walks: runs real random_walks then reduces to
-    a per-walk summary that SQL can predict exactly on this graph —
-    walk ids are sorted-start ordinals; every start (a customer) has
-    out-edges and every out-neighbor (a supplier) is a sink, so each
-    walk is exactly 2 rows; bad_steps anti-joins every consecutive
-    step pair against the edge list (must be 0)."""
-    from .operators.sampling import random_walks
-
-    e = edges_cs(spark, sf_dir)
-    G = Graph(e, directed=True, weighted=True)
-    starts = G.vertices().orderBy("vertex").limit(16)
-    w = random_walks(G, starts, max_depth=3, seed=42)
+def _walk_invariant_summary(w: DataFrame, G: Graph) -> DataFrame:
+    """Per-walk summary [walk_id, start_vertex, n_rows, bad_steps] for
+    the walk-invariant oracles: bad_steps anti-joins every consecutive
+    step pair against the edge list (must be 0); shared by
+    q_random_walks and q_node2vec."""
     a, b = w.alias("a"), w.alias("b")
     hops = a.join(
         b,
@@ -1531,6 +1529,23 @@ def q_random_walks(spark, sf_dir):
             "walk_id", "start_vertex", "n_rows",
             F.coalesce("bad", F.lit(0)).cast("long").alias("bad_steps"),
         )
+    )
+
+
+def q_random_walks(spark, sf_dir):
+    """Invariant-checked walks: runs real random_walks then reduces to
+    a per-walk summary that SQL can predict exactly on this graph —
+    walk ids are sorted-start ordinals; every start (a customer) has
+    out-edges and every out-neighbor (a supplier) is a sink, so each
+    walk is exactly 2 rows; bad_steps anti-joins every consecutive
+    step pair against the edge list (must be 0)."""
+    from .operators.sampling import random_walks
+
+    e = edges_cs(spark, sf_dir)
+    G = Graph(e, directed=True, weighted=True)
+    starts = G.vertices().orderBy("vertex").limit(16)
+    return _walk_invariant_summary(
+        random_walks(G, starts, max_depth=3, seed=42), G
     )
 
 
@@ -1585,37 +1600,8 @@ def q_node2vec(spark, sf_dir):
     e = edges_cs(spark, sf_dir)
     G = Graph(e, directed=True, weighted=True)
     starts = G.vertices().orderBy("vertex").limit(16)
-    w = node2vec_walks(G, starts, max_depth=3, p=2.0, q=0.5, seed=42)
-    a, b = w.alias("a"), w.alias("b")
-    hops = a.join(
-        b,
-        (F.col("a.walk_id") == F.col("b.walk_id"))
-        & (F.col("b.step") == F.col("a.step") + 1),
-    ).select(
-        F.col("a.walk_id").alias("walk_id"),
-        F.col("a.vertex").alias("vs"),
-        F.col("b.vertex").alias("vd"),
-    )
-    bad = (
-        hops.join(
-            G.edges,
-            (hops["vs"] == G.edges["src"]) & (hops["vd"] == G.edges["dst"]),
-            "left_anti",
-        )
-        .groupBy("walk_id")
-        .agg(F.count("*").alias("bad"))
-    )
-    return (
-        w.groupBy("walk_id")
-        .agg(
-            F.count("*").alias("n_rows"),
-            F.min(F.when(F.col("step") == 0, F.col("vertex"))).alias("start_vertex"),
-        )
-        .join(bad, "walk_id", "left")
-        .select(
-            "walk_id", "start_vertex", "n_rows",
-            F.coalesce("bad", F.lit(0)).cast("long").alias("bad_steps"),
-        )
+    return _walk_invariant_summary(
+        node2vec_walks(G, starts, max_depth=3, p=2.0, q=0.5, seed=42), G
     )
 
 
@@ -1988,20 +1974,36 @@ def q_bulk_sample_renumber(spark, sf_dir):
     )
 
 
+def _scoped_log_dir(name: str, sf_dir: str) -> str:
+    """Deterministic per-(query, sf_dir) EdgeLog scratch dir, wiped and
+    rebuilt each call — mkdtemp leaked one full parquet edge-set copy
+    into /tmp per gate run, unbounded across runs. The dir must outlive
+    the returned lazy plan, so it is reused, never deleted at query
+    end."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), f"cugraph_spark_{name}_{key}")
+    shutil.rmtree(d, ignore_errors=True)
+    return d
+
+
 def q_incremental_wcc(spark, sf_dir):
     """Incremental WCC end-to-end: the supplier co-purchase edges are
     split deterministically into two EdgeLog batches (xxhash64 parity);
     batch 0 gets a cold WCC, batch 1 arrives as a delta and is absorbed
     via the O(delta) contracted merge graph — the result must equal
     batch WCC on the full edge set (the SQL oracle). The log lives in a
-    per-run temp dir that stays alive for the lazy plan's lifetime."""
-    import tempfile
-
+    per-(query, sf_dir) scratch dir that stays alive for the lazy
+    plan's lifetime."""
     from .streaming.incremental import EdgeLog, incremental_wcc
 
     e = edges_ss(spark, sf_dir)
     parity = F.pmod(F.xxhash64("src", "dst"), F.lit(2))
-    log = EdgeLog(tempfile.mkdtemp(prefix="cugraph_spark_ewlog_"))
+    log = EdgeLog(_scoped_log_dir("ewlog", sf_dir))
     log.append(e.filter(parity == 0), 0)
     labels0 = incremental_wcc(spark, log, None)
     log.append(e.filter(parity == 1), 1)
@@ -2016,11 +2018,9 @@ def q_incremental_pagerank(spark, sf_dir):
     (same shape as pagerank5's; unrolling deeper is exponential in
     DuckDB because each superstep CTE is inlined ~3x by the next).
     Exercises the EdgeLog read + nstart warm-start path end-to-end."""
-    import tempfile
-
     from .streaming.incremental import EdgeLog, incremental_pagerank
 
-    log = EdgeLog(tempfile.mkdtemp(prefix="cugraph_spark_eplog_"))
+    log = EdgeLog(_scoped_log_dir("eplog", sf_dir))
     log.append(edges_cs(spark, sf_dir), 0)
     r3 = incremental_pagerank(spark, log, None, tol=0.0, max_iter=3)
     r5 = incremental_pagerank(spark, log, r3, tol=0.0, max_iter=2)

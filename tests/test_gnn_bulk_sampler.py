@@ -199,6 +199,24 @@ def test_dist_sampler_write_read_roundtrip(spark, tmp_path):
     assert set(hop0[hop0["batch_id"] == 1]["src"]) <= {4, 5, 6, 7}
 
 
+def test_dist_sampler_empty_result_reader(spark, tmp_path):
+    """An all-sink node list samples zero edges; the partitioned write
+    then has no data files and the reader must iterate empty, not
+    crash on schema inference."""
+    from cugraph_spark.gnn import DistSampleWriter, UniformNeighborSampler
+
+    G = _graph(spark)
+    sinks = G.vertices().join(
+        G.edges.select(F.col("src").alias("vertex")).distinct(),
+        "vertex", "left_anti",
+    )
+    out = str(tmp_path / "dist_empty")
+    writer = DistSampleWriter(out, batches_per_partition=2)
+    sampler = UniformNeighborSampler(G, writer, fanout=[2], seed=7)
+    sampler.sample_from_nodes(sinks, batch_size=4)
+    assert list(sampler.get_reader(spark)) == []
+
+
 def test_feature_store_numpy_and_dataframe(spark):
     import numpy as np
     import pytest
