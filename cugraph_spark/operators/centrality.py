@@ -118,6 +118,10 @@ def hits(
         out = state.join(auth, "vertex").select(
             "vertex", (F.col("h_un") / F.lit(S_final)).alias("hubs"), "authorities"
         )
+        # materialize before unpersist: auth's plan re-derives a_raw
+        # from `edges`, so a lazy return would rescan the edge list
+        # uncached at the caller's first action
+        out = truncate_plan(out, eager=True)
         edges.unpersist()
         verts.unpersist()
         return out
@@ -181,6 +185,8 @@ def hits(
             "authorities",
         )
     )
+    # same as the fixed-iteration path: auth re-derives from `edges`
+    out = truncate_plan(out, eager=True)
     edges.unpersist()
     verts.unpersist()
     return out
