@@ -25,7 +25,7 @@ per step; the edge side is partitioned once.
 
 from __future__ import annotations
 
-from ..plans.lineage import truncate_plan
+from ..plans.lineage import checkpoint_keep_stats, truncate_plan
 
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
@@ -208,11 +208,12 @@ def uniform_neighbor_sample(
     (slot s draws ``xxhash64(src, hop, s, seed) mod degree``), so the
     same neighbor can repeat. Both are vectorized, deterministic, and
     partitioning-invariant."""
-    # lazy checkpoint, not persist/unpersist: this loop runs ZERO
-    # actions, so an unpersist-before-return would drop the cache before
-    # the caller's first action and every hop would rescan the source;
-    # the checkpoint RDD materializes once inside the terminal job
-    edges = G.edges.select(SRC, DST, WGT).transform(truncate_plan)
+    # lazy stats-keeping checkpoint, not persist/unpersist: this loop
+    # runs ZERO actions, so an unpersist-before-return would drop the
+    # cache before the caller's first action and every hop would rescan
+    # the source; the checkpoint RDD materializes once inside the
+    # terminal job (one-shot — stats can't compound here)
+    edges = G.edges.select(SRC, DST, WGT).transform(checkpoint_keep_stats)
     frontier = start_vertices.select(
         F.col(start_vertices.columns[0]).alias("v")
     ).distinct()
@@ -280,9 +281,9 @@ def uniform_neighbor_sample_batched(
     the output is deterministic at any parallelism. Returns
     [batch_id, src, dst, weight, hop].
     """
-    # lazy checkpoint — same zero-actions-in-loop reason as
-    # uniform_neighbor_sample above
-    edges = G.edges.select(SRC, DST, WGT).transform(truncate_plan)
+    # lazy stats-keeping checkpoint — same zero-actions-in-loop reason
+    # as uniform_neighbor_sample above
+    edges = G.edges.select(SRC, DST, WGT).transform(checkpoint_keep_stats)
     frontier = seeds.select(
         F.col(batch_col).cast("long").alias("b"),
         F.col(start_col).alias("v"),

