@@ -25,10 +25,43 @@ format-agnostic.
 from __future__ import annotations
 
 import json
-import os
+import posixpath
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _fs_and_path(spark: SparkSession, path_str: str):
+    """(HadoopFileSystem, Path) for ANY Spark-supported URI — s3a://,
+    hdfs://, file://, or a bare path on the cluster's default FS. The
+    state parquet already goes wherever ``df.write`` resolves the path;
+    the _meta.json commit marker must land on the SAME filesystem, not
+    the driver's local disk (python ``open`` would silently split the
+    checkpoint across two filesystems on a real cluster)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def _write_text(spark: SparkSession, path_str: str, text: str) -> None:
+    fs, p = _fs_and_path(spark, path_str)
+    out = fs.create(p, True)
+    try:
+        out.write(text.encode("utf-8"))
+    finally:
+        out.close()
+
+
+def _read_text(spark: SparkSession, path_str: str) -> str:
+    fs, p = _fs_and_path(spark, path_str)
+    stream = fs.open(p)
+    try:
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
 
 
 class CheckpointManager:
@@ -36,13 +69,15 @@ class CheckpointManager:
         self.root = root
         self.name = name
         self.format = format
-        self.base = os.path.join(root, name)
+        # posixpath, not os.path: these are URI-style paths on whatever
+        # filesystem Spark resolves (s3a/hdfs/file), never OS-native
+        self.base = posixpath.join(root, name)
 
     def _iter_dir(self, iteration: int) -> str:
-        return os.path.join(self.base, f"iter={iteration:05d}")
+        return posixpath.join(self.base, f"iter={iteration:05d}")
 
     def _meta_path(self, iteration: int) -> str:
-        return os.path.join(self._iter_dir(iteration), "_meta.json")
+        return posixpath.join(self._iter_dir(iteration), "_meta.json")
 
     def save(self, df: DataFrame, iteration: int, metrics: dict) -> DataFrame:
         """Write state + lineage meta; returns the re-read DataFrame
@@ -62,23 +97,30 @@ class CheckpointManager:
             "partitions": sorted(partitions, key=lambda p: p["partition_id"]),
             "schema": df.schema.jsonValue(),
         }
-        with open(self._meta_path(iteration), "w") as f:
-            json.dump(meta, f)
+        _write_text(df.sparkSession, self._meta_path(iteration), json.dumps(meta))
         return reloaded
 
     def latest_iteration(self) -> int | None:
-        if not os.path.isdir(self.base):
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError(
+                "latest_iteration needs an active SparkSession (the "
+                "checkpoint root may live on a non-local filesystem)"
+            )
+        fs, base = _fs_and_path(spark, self.base)
+        if not fs.exists(base):
             return None
+        jvm = spark._jvm
         iters = []
-        for d in os.listdir(self.base):
-            if d.startswith("iter=") and os.path.exists(
-                os.path.join(self.base, d, "_meta.json")
+        for st in fs.listStatus(base):
+            name = st.getPath().getName()
+            if name.startswith("iter=") and fs.exists(
+                jvm.org.apache.hadoop.fs.Path(st.getPath(), "_meta.json")
             ):
-                iters.append(int(d.split("=")[1]))
+                iters.append(int(name.split("=")[1]))
         return max(iters) if iters else None
 
     def load(self, spark: SparkSession, iteration: int) -> tuple[DataFrame, dict]:
-        with open(self._meta_path(iteration)) as f:
-            meta = json.load(f)
+        meta = json.loads(_read_text(spark, self._meta_path(iteration)))
         df = spark.read.format(self.format).load(self._iter_dir(iteration))
         return df, meta

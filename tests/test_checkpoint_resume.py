@@ -168,3 +168,23 @@ def test_neighbor_sample_with_replacement(spark):
         assert (r["src"], r["dst"]) in eset
         per_src[r["src"]] = per_src.get(r["src"], 0) + 1
     assert per_src and all(c <= 4 for c in per_src.values())
+
+
+def test_checkpoint_uri_scheme_roundtrip(spark, tmp_path):
+    """The checkpoint manager must speak Hadoop-FS paths, not local
+    python file APIs: a file:// URI (any Spark-supported scheme) must
+    round-trip save -> latest_iteration -> load. On a real cluster the
+    parquet goes wherever Spark resolves the URI, and the _meta.json
+    marker must land on the SAME filesystem."""
+    from cugraph_spark.plans.checkpoint import CheckpointManager
+
+    root = "file://" + str(tmp_path)
+    cp = CheckpointManager(root, "uri")
+    df = spark.createDataFrame([(1, 0.5), (2, 0.5)], "vertex long, rank double")
+    cp.save(df, 3, {"l1": 0.1})
+    assert cp.latest_iteration() == 3
+    got, meta = cp.load(spark, 3)
+    assert meta["iteration"] == 3 and meta["metrics"]["l1"] == 0.1
+    assert sorted((r["vertex"], r["rank"]) for r in got.collect()) == [
+        (1, 0.5), (2, 0.5),
+    ]

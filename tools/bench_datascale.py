@@ -23,11 +23,18 @@ from bench_scaling import ROOT, run_worker  # noqa: E402
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
     iters = 10
-    if "--iters" in sys.argv:
-        iters = int(sys.argv[sys.argv.index("--iters") + 1])
-        args = [a for a in args if a != str(iters)]
+    if "--iters" in argv:
+        i = argv.index("--iters")
+        if i + 1 >= len(argv):
+            raise SystemExit("--iters needs a value")
+        iters = int(argv[i + 1])
+        # remove exactly the flag and its value BY POSITION — filtering
+        # by string equality would also strip a cores/scale arg that
+        # happens to equal the iters value
+        argv = argv[:i] + argv[i + 2:]
+    args = [a for a in argv if not a.startswith("--")]
     cores = int(args[0]) if args else 32
     scales = [int(s) for s in args[1:]] or [22, 23, 24, 25]
 

@@ -76,6 +76,13 @@ def run_worker(cpus: int, scale: int, ef: int, iters: int) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env.setdefault("SPARK_DRIVER_MEMORY", "48g")
+    # tmpfs shuffle, same as the e2e/wcc harnesses: both parallelism
+    # levels share ONE virtual disk here, which a real N-vs-4N cluster
+    # would not — routing shuffle to RAM removes that artifact (and is
+    # the dir _sweep_orphan_scratch cleans)
+    shm = "/dev/shm/spark-graft-local"
+    os.makedirs(shm, exist_ok=True)
+    env.setdefault("SPARK_LOCAL_DIRS", shm)
     code = WORKER.format(root=str(ROOT), scale=scale, ef=ef, iters=iters)
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True,

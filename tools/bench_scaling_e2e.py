@@ -89,6 +89,12 @@ print("BENCHJSON " + json.dumps(out))
 
 
 def run_worker(cpus: int, wcc_scale: int, tc_scale: int, reps: int) -> dict:
+    # a killed prior run strands GiBs of blockmgr dirs in the tmpfs
+    # scratch below — sweep them like bench_scaling.py does
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from bench_scaling import _sweep_orphan_scratch
+
+    _sweep_orphan_scratch()
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env.setdefault("SPARK_DRIVER_MEMORY", "48g")

@@ -67,6 +67,11 @@ print("BENCHJSON " + json.dumps({{
 
 
 def run_worker(cpus: int, scale: int, ef: int, iters: int) -> dict:
+    # sweep orphaned tmpfs shuffle scratch like bench_scaling.py does
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from bench_scaling import _sweep_orphan_scratch
+
+    _sweep_orphan_scratch()
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env.setdefault("SPARK_DRIVER_MEMORY", "48g")

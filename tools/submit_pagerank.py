@@ -48,6 +48,10 @@ def main() -> None:
     ap.add_argument("--resume", action="store_true", help="resume from the latest committed superstep under --checkpoint")
     ap.add_argument("--salt", type=int, default=None, help="explicit hub-salt fanout (default: planner decides)")
     args = ap.parse_args()
+    if args.resume and args.checkpoint is None:
+        # silently restarting a multi-hour job from iteration 0 is the
+        # worst possible interpretation of a forgotten flag
+        ap.error("--resume requires --checkpoint")
 
     from cugraph_spark.session import get_spark
     from cugraph_spark.graph import Graph

@@ -87,8 +87,10 @@ def main():
             f"schema={ok_schema} hash={ok_hash}  (spark {t1-t0:.1f}s, duck {t2-t1:.1f}s)"
         )
         if status != "OK" and len(spark_rows) < 40:
-            print("  spark:", sorted(tuple(r) for r in spark_rows)[:10])
-            print("  duck :", sorted(duck_rows)[:10])
+            # key=repr: NULLs mixed with values would TypeError a plain
+            # tuple sort and abort the gate before the FAILURES summary
+            print("  spark:", sorted((tuple(r) for r in spark_rows), key=repr)[:10])
+            print("  duck :", sorted(duck_rows, key=repr)[:10])
     print("FAILURES:", failures or "none")
     return 1 if failures else 0
 
