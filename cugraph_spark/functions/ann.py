@@ -156,28 +156,94 @@ def lsh_bucket(
     return df.withColumn(out_col, bucket)
 
 
+def lsh_band_keys(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bands: int = 8,
+    band_bits: int = 8,
+    dim: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Banded sign-LSH keys: ``n_bands`` independent tables of
+    ``band_bits`` hyperplane sign bits each — [id, bk] with one row per
+    (vector, band), ``bk = band * 2^band_bits + bucket``. A pair is a
+    candidate iff it matches in AT LEAST ONE band (exactly the
+    MinHash banding shape, ``dedup.minhash_lsh_candidates``): collision
+    probability 1 − (1 − p^r)^B for per-bit agreement p — steep around
+    the similarity threshold, unlike a single wide table where raising
+    bits craters recall and lowering bits makes buckets O(N/2^bits)
+    self-join bombs."""
+    if dim is None:
+        head = df.select(vec_col).head(1)
+        dim = len(head[0][0]) if head else 1
+    planes = _hyperplanes(dim, n_bands * band_bits, seed)
+    v = F.col(vec_col).cast("array<double>")
+    keys = []
+    for band in range(n_bands):
+        bucket = F.lit(0).cast("long")
+        for j in range(band_bits):
+            plane = F.array(
+                *[F.lit(float(x)) for x in planes[band * band_bits + j]]
+            )
+            bit = (_dot(v, plane) > 0).cast("long")
+            bucket = bucket.bitwiseOR(F.shiftleft(bit, j))
+        keys.append(
+            (F.lit(band).cast("long") * F.lit(1 << band_bits) + bucket).alias("k")
+        )
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(F.array(*keys)).alias("bk")
+    )
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 8,
+    n_bands: int = 8,
+    band_bits: int = 8,
     seed: int = 42,
+    max_bucket_size: int | None = 100_000,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH
-    bucket (collision probability rises with cosine similarity).
-    Same output schema as brute force; recall < 1 by construction."""
+    """Approximate top-k: candidates restricted to vectors sharing ≥ 1
+    LSH band bucket with the query (banded multi-table — recall rises
+    with n_bands at fixed selectivity, vs the single-table trade-off).
+    Oversized corpus buckets (> ``max_bucket_size``) are excluded: a
+    bucket holding that many vectors carries ~0 discriminative signal
+    and its candidates surface through the other bands. Same output
+    schema as brute force; recall < 1 by construction."""
     dim = len(corpus.select(vec_col).first()[0])
-    cb = lsh_bucket(corpus, vec_col, "b", n_planes, dim, seed).select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("cv"), "b"
+    cb = lsh_band_keys(corpus, id_col, vec_col, n_bands, band_bits, dim, seed)
+    if max_bucket_size is not None:
+        sizes = cb.groupBy("bk").agg(F.count("*").alias("n"))
+        cb = cb.join(
+            F.broadcast(sizes.filter(F.col("n") > max_bucket_size).select("bk")),
+            "bk", "left_anti",
+        )
+    qb = lsh_band_keys(queries, id_col, vec_col, n_bands, band_bits, dim, seed)
+    cands = (
+        cb.select("bk", F.col("id").alias("vec_id"))
+        .join(F.broadcast(qb.select("bk", F.col("id").alias("query_id"))), "bk")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
     )
-    qb = lsh_bucket(queries, vec_col, "b", n_planes, dim, seed).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv"), "b"
+    # candidate-scoped verify: vectors re-joined per pair (the
+    # dedup.ngram_jaccard_pairs shape — no vector payload rides
+    # through the bucket join / distinct)
+    cv = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
     )
     scored = (
-        cb.join(F.broadcast(qb), "b")
-        .filter(F.col("vec_id") != F.col("query_id"))
+        cands.join(F.broadcast(qv), "query_id")
+        .join(cv, "vec_id")
         .select(
             "query_id", "vec_id",
             (_dot(F.col("qv"), F.col("cv"))
@@ -188,29 +254,82 @@ def cosine_topk_lsh(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _assign_cells_blas(
+    df: DataFrame, id_col: str, vec_col: str, cent_mat, cell_ids
+) -> DataFrame:
+    """Max-cosine cell per vector, one BLAS matmul per Arrow batch
+    (``mapInPandas``): the k×d centroid matrix ships to every task as a
+    closure (k ≤ ~4096 ⇒ a few MB), so assignment is a single scan —
+    no crossJoin row explosion at large k. Ties break to the smallest
+    cell id (centroid rows are pre-sorted by cell id, argmax takes the
+    first maximum)."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    Cn = cent_mat / np.maximum(
+        np.linalg.norm(cent_mat, axis=1, keepdims=True), 1e-300
+    )
+    cells = np.asarray(cell_ids, dtype=np.int64)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array([list(x) for x in pdf["_v"]], dtype=np.float64)
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+            best = np.argmax(Vn @ Cn.T, axis=1)
+            yield pd.DataFrame(
+                {"_id": pdf["_id"].to_numpy(), "ivf_cell": cells[best]}
+            )
+
+    ids = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    out = ids.mapInPandas(assign, schema="_id long, ivf_cell long")
+    return out.withColumnRenamed("_id", id_col)
+
+
 def ivf_assign(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_centroids: int = 16,
+    n_centroids: int | None = 16,
     stride_seed: int = 1,
     hash_fn: str = "xxhash64",
+    train_iters: int = 0,
+    corpus_count: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
-    """IVF coarse quantization: centroids = the ``n_centroids`` corpus
-    vectors with the smallest seeded hash ``hash64(id, seed)`` — a
-    deterministic uniform sample picked with ``orderBy(hash).limit(n)``,
+    """IVF coarse quantization: centroids init = the ``n_centroids``
+    corpus vectors with the smallest seeded hash ``hash64(id, seed)`` —
+    a deterministic uniform sample picked with ``orderBy(hash).limit``,
     which Spark plans as TakeOrderedAndProject (per-partition top-n +
-    driver merge, NO single-partition global sort — the round-1
-    ``Window.orderBy`` version shuffled the whole corpus through one
-    task). Cell ids come from a window over the n_centroids-row
-    centroid set only. Every vector is assigned to its max-cosine
-    centroid via a broadcast join. Returns (assigned_df with
-    'ivf_cell', centroids_df). ``hash_fn="md5_60"`` switches the
-    centroid pick to the ANSI-SQL-portable hash (dedup._hash64) so the
-    DuckDB oracle gate can replay the full pipeline value-exactly."""
+    driver merge, NO single-partition global sort). Cell ids come from
+    a window over the n_centroids-row centroid set only.
+
+    ``n_centroids=None`` scales the codebook with the corpus:
+    ~√N clamped to [16, 4096] — the bound that makes
+    nprobe/n_centroids a real candidate fraction at any N (16 fixed
+    cells at 10⁹ vectors means N/16-row cells — useless).
+    ``train_iters > 0`` runs that many distributed Lloyd rounds:
+    assignment is one BLAS matmul per Arrow batch against the broadcast
+    k×d codebook (never a crossJoin), the update is one per-component
+    avg aggregate (map-side combinable — only k×d floats ever reach the
+    driver, the ``host_scalar_allreduce`` analog). Empty cells keep
+    their previous centroid. Deterministic given (seed, corpus).
+
+    ``train_iters=0`` keeps the crossJoin-scored sample quantizer whose
+    float path the DuckDB oracle replays value-exactly
+    (``oracle_builders.ivf_top1_sql``; ``hash_fn='md5_60'`` switches to
+    the ANSI-portable hash). Returns (assigned_df with 'ivf_cell',
+    centroids_df [ivf_cell, cent])."""
     from .dedup import _hash64
 
     vecs = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    if n_centroids is None:
+        n = corpus_count if corpus_count is not None else df.count()
+        n_centroids = max(16, min(4096, int(n ** 0.5)))
     picked = (
         vecs.orderBy(_hash64(F.col(id_col), stride_seed, hash_fn), F.col(id_col))
         .limit(n_centroids)
@@ -219,6 +338,35 @@ def ivf_assign(
         F.row_number().over(Window.orderBy(id_col)).alias("ivf_cell"),
         F.col("v").alias("cent"),
     )
+    if train_iters > 0:
+        import numpy as np
+
+        rows = sorted(cents.collect(), key=lambda r: r["ivf_cell"])
+        cell_ids = [r["ivf_cell"] for r in rows]
+        C = np.array([list(r["cent"]) for r in rows], dtype=np.float64)
+        dim = C.shape[1]
+        for _ in range(train_iters):
+            assigned_it = _assign_cells_blas(df, id_col, vec_col, C, cell_ids)
+            member_means = (
+                vecs.join(assigned_it, id_col)
+                .groupBy("ivf_cell")
+                .agg(*[F.avg(F.col("v")[i]).alias(f"c{i}") for i in range(dim)])
+                .collect()
+            )
+            Cn = C.copy()  # empty cells keep their previous centroid
+            for r in member_means:
+                Cn[cell_ids.index(r["ivf_cell"])] = [
+                    r[f"c{i}"] for i in range(dim)
+                ]
+            C = Cn
+        assigned = df.join(_assign_cells_blas(df, id_col, vec_col, C, cell_ids), id_col)
+        spark = df.sparkSession
+        cents = spark.createDataFrame(
+            [(int(c), [float(x) for x in C[i]]) for i, c in enumerate(cell_ids)],
+            "ivf_cell int, cent array<double>",
+        )
+        return assigned, cents
+
     scored = (
         vecs.crossJoin(F.broadcast(cents))
         .select(
@@ -239,14 +387,18 @@ def cosine_topk_ivf(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_centroids: int = 16,
+    n_centroids: int | None = 16,
     nprobe: int = 4,
     hash_fn: str = "xxhash64",
+    train_iters: int = 0,
 ) -> DataFrame:
     """IVF search: score queries against centroids, probe the nprobe
-    best cells, exact cosine within the probed cells only."""
+    best cells, exact cosine within the probed cells only. Pass
+    ``n_centroids=None, train_iters=3`` for the scale configuration
+    (√N trained codebook); the defaults keep the oracle-replayable
+    sample quantizer."""
     assigned, cents = ivf_assign(corpus, id_col, vec_col, n_centroids,
-                                 hash_fn=hash_fn)
+                                 hash_fn=hash_fn, train_iters=train_iters)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
     )
@@ -281,23 +433,54 @@ def embedding_near_duplicates(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 6,
+    n_bands: int = 8,
+    band_bits: int = 8,
     seed: int = 42,
+    max_bucket_size: int | None = 10_000,
+    hub_threshold: int = 1_024,
 ) -> DataFrame:
-    """Near-dup pairs by cosine ≥ threshold, LSH-blocked: pairs must
-    collide in the sign-LSH bucket (high-cosine pairs almost always
-    do), then exact cosine verifies. Returns [a, b, cosine]."""
+    """Near-dup pairs by cosine ≥ threshold, banded-LSH-blocked:
+    candidates collide in ≥ 1 of ``n_bands`` sign-LSH tables of
+    ``band_bits`` bits (the MinHash-banding shape — steep collision
+    curve around the threshold), then a candidate-scoped exact cosine
+    verifies. Returns [a, b, cosine].
+
+    100 TB safety rails, in order:
+    - banding replaces the round-2 single wide table whose 2^6-2^8
+      buckets made the self-join O(N²/buckets);
+    - buckets over ``max_bucket_size`` are dropped from candidate
+      generation (a bucket that large carries ~0 signal; its true
+      near-dups still collide in the other bands) — this BOUNDS the
+      per-bucket pair fan-out at max_bucket_size²/2;
+    - surviving large buckets (> ``hub_threshold``) route through the
+      salted self-join (``plans/skew.py:salted_common_neighbor_join``)
+      so one hot bucket spreads across tasks instead of one;
+    - the verify is candidate-scoped: vectors join onto the DISTINCT
+      pair list (no vector payload through the bucket join)."""
+    from ..plans.skew import salted_common_neighbor_join
+
     dim = len(df.select(vec_col).first()[0])
-    b = lsh_bucket(df, vec_col, "b", n_planes, dim, seed).select(
-        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"), "b"
+    keys = lsh_band_keys(df, id_col, vec_col, n_bands, band_bits, dim, seed)
+    if max_bucket_size is not None:
+        sizes = keys.groupBy("bk").agg(F.count("*").alias("n"))
+        keys = keys.join(
+            F.broadcast(sizes.filter(F.col("n") > max_bucket_size).select("bk")),
+            "bk", "left_anti",
+        )
+    l = keys.select("bk", F.col("id").alias("a"))
+    r = keys.select("bk", F.col("id").alias("b"))
+    cands = (
+        salted_common_neighbor_join(l, r, "bk", hub_threshold=hub_threshold)
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
     )
-    l = b.select(F.col("b"), F.col("id").alias("a"), F.col("v").alias("va"))
-    r = b.select(F.col("b"), F.col("id").alias("bid"), F.col("v").alias("vb"))
+    v = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
     return (
-        l.join(r, "b")
-        .filter(F.col("a") < F.col("bid"))
+        cands.join(v.select(F.col(id_col).alias("a"), F.col("v").alias("va")), "a")
+        .join(v.select(F.col(id_col).alias("b"), F.col("v").alias("vb")), "b")
         .select(
-            "a", F.col("bid").alias("b"),
+            "a", "b",
             (_dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)

@@ -24,6 +24,7 @@ from __future__ import annotations
 from concurrent.futures import ThreadPoolExecutor
 
 from ..plans.lineage import truncate_plan
+from ..plans import local_tail
 
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
@@ -49,10 +50,15 @@ def coarsen_graph(G: Graph, labels: DataFrame) -> DataFrame:
     )
 
 
-def modularity(G: Graph, labels: DataFrame, resolution: float = 1.0) -> float:
+def modularity(
+    G: Graph, labels: DataFrame, resolution: float = 1.0,
+    two_m: float | None = None,
+) -> float:
     """Q = Σ_c [ in_c/(2m) − γ·(deg_c/(2m))² ] over the symmetrized
     edge list (each undirected edge appears in both directions, so
-    2m = Σ weight and in_c counts both directions)."""
+    2m = Σ weight and in_c counts both directions). Pass ``two_m`` when
+    the caller already aggregated it (saves one full-edge action —
+    louvain/leiden evaluate modularity once per level)."""
     if G.directed:
         raise ValueError("modularity requires an undirected graph")
     lab = labels.select(F.col("vertex").alias("v"), F.col("labels").alias("l"))
@@ -62,18 +68,24 @@ def modularity(G: Graph, labels: DataFrame, resolution: float = 1.0) -> float:
         .join(lab.withColumnRenamed("v", DST), DST)
         .withColumnRenamed("l", "dst_l")
     )
-    two_m = e.agg(F.sum(WGT)).first()[0]
+    if two_m is None:
+        two_m = e.agg(F.sum(WGT)).first()[0]
     if not two_m:
         return 0.0
     per_c = e.groupBy("src_l").agg(
         F.sum(F.when(F.col("src_l") == F.col("dst_l"), F.col(WGT)).otherwise(0.0)).alias("in_c"),
         F.sum(WGT).alias("deg_c"),
     )
+    # Σ in_c/2m − γ·Σ(deg_c/2m)² rearranged to ((Σin_c) − γ(Σdeg_c²)/2m)/2m:
+    # both sums are EXACT doubles for integer-valued weights (the
+    # division happens once, after), so Q is bit-deterministic across
+    # physical plans — the per-community form sums already-divided
+    # doubles in partition order and drifts by ulps between runs.
     row = per_c.agg(
-        F.sum(F.col("in_c") / F.lit(two_m)).alias("a"),
-        F.sum(F.pow(F.col("deg_c") / F.lit(two_m), F.lit(2.0))).alias("b"),
+        F.sum("in_c").alias("a"),
+        F.sum(F.col("deg_c") * F.col("deg_c")).alias("b"),
     ).first()
-    return float(row["a"] - resolution * row["b"])
+    return float((row["a"] - resolution * row["b"] / two_m) / two_m)
 
 
 def _move_phase(
@@ -84,6 +96,8 @@ def _move_phase(
     min_gain: float,
     init_labels: DataFrame | None = None,
     move_mask_seed: int | None = None,
+    n_edges: int | None = None,
+    local_tail_edges: int | None = None,
 ) -> DataFrame:
     """Synchronous best-modularity-gain label moves (the louvain_impl.cuh
     move kernel): per round every vertex adopts the neighbor community
@@ -96,7 +110,30 @@ def _move_phase(
     with ``xxhash64(vertex, round, seed) % 2 == 0`` may move — the
     synchronous-engine analog of randomized sequential visit order
     (used by the ECG ensemble to diversify runs; Poulin & Théberge
-    2018 randomize exactly this greedy order)."""
+    2018 randomize exactly this greedy order).
+
+    ``n_edges``: the edge-row count, when the caller already knows it
+    (louvain/leiden fuse it into the two_m aggregate). At or below the
+    local-tail threshold the whole move loop runs driver-side in numpy
+    with the identical hash stream and expression tree
+    (``plans/local_tail.py``) — the single-GPU-handoff analog; the
+    coarsened levels of every Louvain/Leiden run end here."""
+    if n_edges is not None and n_edges <= local_tail.resolve_threshold(local_tail_edges):
+        src, dst, wgt = local_tail.collect_edges(edges)
+        init = None
+        if init_labels is not None:
+            pdf = init_labels.select("vertex", "labels").toPandas()
+            init = {
+                int(v): int(l)
+                for v, l in zip(pdf["vertex"], pdf["labels"])
+            }
+        out = local_tail.move_phase_local(
+            src, dst, wgt, two_m, max_iter, resolution, min_gain,
+            init_labels=init, move_mask_seed=move_mask_seed,
+        )
+        return edges.sparkSession.createDataFrame(
+            out, "vertex long, k double, labels long"
+        )
     verts = (
         edges.select(F.col(SRC).alias("vertex"))
         .unionByName(edges.select(F.col(DST).alias("vertex")))
@@ -188,11 +225,23 @@ def louvain(
     max_iter_per_level: int = 10,
     resolution: float = 1.0,
     min_gain: float = 1.0e-7,
+    local_tail_edges: int | None = None,
+    checkpoint=None,
+    resume: bool = False,
 ) -> tuple[DataFrame, float]:
     """One-pass-per-level Louvain (louvain_impl.cuh structure):
     synchronous best-modularity-gain moves with deterministic min-label
     tie-break, then coarsen; levels until Q stops improving.
-    Returns ([vertex, labels], final modularity)."""
+    Returns ([vertex, labels], final modularity).
+
+    ``checkpoint``: a ``plans.checkpoint.CheckpointManager`` — the
+    accepted assignment is durably saved after every LEVEL (the
+    hour-scale unit at 100 TB), with modularity in the metrics;
+    ``resume=True`` restarts from the latest saved level. Coarsened
+    edges are NOT stored: coarsening is transitive, so the level-L edge
+    list is recomputed as one ``coarsen_graph(G, assignment)`` job from
+    the saved assignment (cheaper than persisting an edge snapshot per
+    level and keeps the checkpoint O(V))."""
     if G.directed:
         raise ValueError("louvain requires an undirected graph")
 
@@ -200,15 +249,30 @@ def louvain(
     # running assignment original vertex -> community
     assignment = G.vertices().withColumn("labels", F.col("vertex"))
     cur_edges = G.edges
-    best_q = modularity(G, assignment, resolution)
+    start_level = 0
+    if resume and checkpoint is not None and checkpoint.latest_iteration() is not None:
+        it0 = checkpoint.latest_iteration()
+        saved, meta = checkpoint.load(spark, it0)
+        assignment = saved.transform(truncate_plan)
+        best_q = float(meta["metrics"]["modularity"])
+        cur_edges = coarsen_graph(G, assignment).transform(truncate_plan)
+        start_level = int(meta["iteration"]) + 1
+    else:
+        best_q = modularity(G, assignment, resolution)
 
-    for _level in range(max_levels):
+    for _level in range(start_level, max_levels):
         edges = cur_edges.persist(StorageLevel.MEMORY_AND_DISK)
-        two_m = edges.agg(F.sum(WGT)).first()[0]
+        row = edges.agg(
+            F.sum(WGT).alias("two_m"), F.count("*").alias("n_edges")
+        ).first()
+        two_m, n_edges = row["two_m"], int(row["n_edges"] or 0)
         if not two_m:
             edges.unpersist()
             break
-        state = _move_phase(edges, two_m, max_iter_per_level, resolution, min_gain)
+        state = _move_phase(
+            edges, two_m, max_iter_per_level, resolution, min_gain,
+            n_edges=n_edges, local_tail_edges=local_tail_edges,
+        )
 
         # push level labels down to original vertices
         level_lab = state.select(F.col("vertex").alias("lv"), F.col("labels").alias("ll"))
@@ -217,7 +281,15 @@ def louvain(
             .select(assignment["vertex"], F.col("ll").alias("labels"))
             .transform(truncate_plan)
         )
-        q = modularity(G, candidate, resolution)
+        # modularity is coarsening-invariant (coarsen keeps self-loops:
+        # in_c and deg_c aggregate identically), so the acceptance gate
+        # evaluates on the CURRENT level's edges — O(E_level), which
+        # shrinks geometrically with depth — never re-touching the
+        # original graph after level 0.
+        q = modularity(
+            _as_graph(edges, G), state.select("vertex", "labels"),
+            resolution, two_m=two_m,
+        )
         coarse = coarsen_graph(
             _as_graph(cur_edges, G), state.select("vertex", "labels")
         )
@@ -232,12 +304,22 @@ def louvain(
             break
         assignment = candidate
         best_q = q
+        if checkpoint is not None:
+            assignment = checkpoint.save(
+                assignment.select("vertex", "labels"), _level,
+                {"modularity": best_q, "resolution": resolution},
+            )
         cur_edges = coarse.transform(truncate_plan)
 
     return assignment.select("vertex", "labels"), best_q
 
 
-def _refine_partition(edges: DataFrame, labels: DataFrame) -> DataFrame:
+def _refine_partition(
+    edges: DataFrame,
+    labels: DataFrame,
+    n_edges: int | None = None,
+    local_tail_edges: int | None = None,
+) -> DataFrame:
     """Leiden refinement: split every move-community into its connected
     components (hash-min label propagation over edges restricted to
     same-community endpoints; refined label = min vertex id in the
@@ -247,6 +329,13 @@ def _refine_partition(edges: DataFrame, labels: DataFrame) -> DataFrame:
     phase) — and splitting a disconnected community can only increase
     modularity (in-weights unchanged, Σdeg² strictly drops).
     Returns [vertex, refined]."""
+    if n_edges is not None and n_edges <= local_tail.resolve_threshold(local_tail_edges):
+        src, dst, _w = local_tail.collect_edges(edges, weighted=False)
+        lab_pdf = labels.select("vertex", "labels").toPandas()
+        out = local_tail.refine_partition_local(src, dst, lab_pdf)
+        return edges.sparkSession.createDataFrame(
+            out, "vertex long, refined long"
+        )
     lab = labels.select(F.col("vertex").alias("lv"), F.col("labels").alias("ll"))
     intra = (
         edges.filter(F.col(SRC) != F.col(DST))
@@ -305,6 +394,9 @@ def leiden(
     max_iter_per_level: int = 10,
     resolution: float = 1.0,
     min_gain: float = 1.0e-7,
+    local_tail_edges: int | None = None,
+    checkpoint=None,
+    resume: bool = False,
 ) -> tuple[DataFrame, float]:
     """Leiden community detection (reference
     ``community/leiden_impl.cuh``, python ``community/leiden.py``;
@@ -314,33 +406,61 @@ def leiden(
     moves seeded from the move-community of each refined node (the
     Leiden aggregation rule that distinguishes it from Louvain).
     Returns ([vertex, labels], modularity); every community is
-    internally connected."""
+    internally connected.
+
+    ``checkpoint``/``resume``: per-LEVEL durable state like
+    :func:`louvain`; Leiden additionally carries the next level's move
+    seeds (each refined node's move community), saved through a sidecar
+    manager under ``{name}_seed``."""
     if G.directed:
         raise ValueError("leiden requires an undirected graph")
 
+    spark = G.edges.sparkSession
     assignment = G.vertices().withColumn("labels", F.col("vertex"))
     cur_edges = G.edges
-    best_q = modularity(G, assignment, resolution)
     seed_labels = None  # move-phase init for the current level
+    seed_ckpt = None
+    if checkpoint is not None:
+        from ..plans.checkpoint import CheckpointManager
 
-    for _level in range(max_levels):
+        seed_ckpt = CheckpointManager(
+            checkpoint.root, checkpoint.name + "_seed", checkpoint.format
+        )
+    start_level = 0
+    if resume and checkpoint is not None and checkpoint.latest_iteration() is not None:
+        it0 = checkpoint.latest_iteration()
+        saved, meta = checkpoint.load(spark, it0)
+        assignment = saved.transform(truncate_plan)
+        best_q = float(meta["metrics"]["modularity"])
+        cur_edges = coarsen_graph(G, assignment).transform(truncate_plan)
+        seed_labels, _smeta = seed_ckpt.load(spark, it0)
+        seed_labels = seed_labels.transform(truncate_plan)
+        start_level = int(meta["iteration"]) + 1
+    else:
+        best_q = modularity(G, assignment, resolution)
+
+    for _level in range(start_level, max_levels):
         edges = cur_edges.persist(StorageLevel.MEMORY_AND_DISK)
-        two_m = edges.agg(F.sum(WGT)).first()[0]
+        row = edges.agg(
+            F.sum(WGT).alias("two_m"), F.count("*").alias("n_edges")
+        ).first()
+        two_m, n_edges = row["two_m"], int(row["n_edges"] or 0)
         if not two_m:
             edges.unpersist()
             break
-        n_cur = (
-            edges.select(F.col(SRC).alias("v"))
-            .unionByName(edges.select(F.col(DST).alias("v")))
-            .distinct()
-            .count()
-        )
         moved = _move_phase(
             edges, two_m, max_iter_per_level, resolution, min_gain,
             init_labels=seed_labels,
+            n_edges=n_edges, local_tail_edges=local_tail_edges,
         )
+        # one row per vertex of the level graph — cheaper than a
+        # distinct over the edge list for the contraction check
+        n_cur = moved.count()
         move_labels = moved.select("vertex", "labels")
-        refined = _refine_partition(edges, move_labels)  # [vertex, refined]
+        refined = _refine_partition(
+            edges, move_labels,
+            n_edges=n_edges, local_tail_edges=local_tail_edges,
+        )  # [vertex, refined]
         n_refined = refined.select("refined").distinct().count()
 
         # push refined labels down to original vertices
@@ -350,7 +470,13 @@ def leiden(
             .select(assignment["vertex"], F.col("ll").alias("labels"))
             .transform(truncate_plan)
         )
-        q = modularity(G, candidate, resolution)
+        # coarsening-invariant acceptance gate on the level edges (see
+        # louvain): O(E_level) instead of two O(E_original) actions
+        q = modularity(
+            _as_graph(edges, G),
+            refined.withColumnRenamed("refined", "labels"),
+            resolution, two_m=two_m,
+        )
 
         # aggregate by refined partition; seed next level's move phase
         # with each refined node's MOVE community (Leiden aggregation)
@@ -372,6 +498,15 @@ def leiden(
             break
         assignment = candidate
         best_q = q
+        if checkpoint is not None:
+            assignment = checkpoint.save(
+                assignment.select("vertex", "labels"), _level,
+                {"modularity": best_q, "resolution": resolution},
+            )
+            seed_labels = seed_ckpt.save(
+                seed_labels.select("vertex", "labels"), _level,
+                {"level": _level},
+            )
         if n_refined >= n_cur:
             # no contraction — the partition is stable; further levels
             # would redo the same moves on the same graph
@@ -389,6 +524,7 @@ def ecg(
     ensemble_size: int = 16,
     resolution: float = 1.0,
     seed: int = 42,
+    local_tail_edges: int | None = None,
 ) -> tuple[DataFrame, float]:
     """Ensemble Clustering for Graphs (reference
     ``community/ecg_impl.cuh``, python ``community/ecg.py``; Poulin &
@@ -410,7 +546,7 @@ def ecg(
         edges.unpersist()
         return G.vertices().withColumn("labels", F.col("vertex")), 0.0
 
-    edges.count()  # materialize the shared cache before concurrent jobs
+    n_edges = edges.count()  # materialize the shared cache before concurrent jobs
 
     def _member(i: int) -> DataFrame:
         """One ensemble member's co-membership votes. Members are
@@ -422,6 +558,7 @@ def ecg(
         part = _move_phase(
             edges, two_m, max_iter=3, resolution=resolution,
             min_gain=1.0e-7, move_mask_seed=seed + i,
+            n_edges=n_edges, local_tail_edges=local_tail_edges,
         ).select(F.col("vertex").alias("pv"), F.col("labels").alias("pl"))
         return (
             edges.join(part.withColumnRenamed("pv", SRC)
@@ -464,7 +601,7 @@ def ecg(
         )
     )
     gw = _as_graph(reweighted.transform(truncate_plan), G)
-    labels, _q = louvain(gw, resolution=resolution)
+    labels, _q = louvain(gw, resolution=resolution, local_tail_edges=local_tail_edges)
     edges.unpersist()
     return labels, modularity(G, labels, resolution)
 

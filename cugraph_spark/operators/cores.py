@@ -45,11 +45,28 @@ def core_number(
     G: Graph,
     max_iter: int = 100,
     num_partitions: int | None = None,
+    local_tail_edges: int | None = None,
 ) -> DataFrame:
     """Returns [vertex, core_number] on the undirected simple graph
-    (self-loops ignored, like core_number_impl.cuh)."""
+    (self-loops ignored, like core_number_impl.cuh).
+
+    Small graphs take the driver-local exact peel
+    (``plans/local_tail.py`` — core numbers are a graph invariant, so
+    peeling and the distributed h-index fixpoint agree exactly)."""
     if G.directed:
         raise ValueError("core_number requires an undirected graph")
+    from ..plans import local_tail
+
+    thr = local_tail.resolve_threshold(local_tail_edges)
+    if thr > 0 and G.edges.count() <= thr:
+        import numpy as np
+
+        src, dst, _w = local_tail.collect_edges(G.edges, weighted=False)
+        vertices = np.unique(np.concatenate([src, dst]))
+        out = local_tail.core_number_local(src, dst, vertices)
+        return G.edges.sparkSession.createDataFrame(
+            out, "vertex long, core_number long"
+        )
     spark = G.edges.sparkSession
     P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     edges = (

@@ -17,6 +17,7 @@ vertex id) so results are exactly reproducible at any parallelism:
 from __future__ import annotations
 
 from ..plans.lineage import truncate_plan
+from ..plans import local_tail
 
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
@@ -32,10 +33,32 @@ def _sym_edges(G: Graph) -> DataFrame:
     ).distinct()
 
 
+def _try_local(G: Graph, local_tail_edges: int | None):
+    """Collect (src, dst, vertices) when the edge list fits the driver
+    tail (``plans/local_tail.py`` — the single-GPU-handoff analog);
+    None when the graph is big and the distributed loop must run. One
+    count job; Luby loops would otherwise pay ≥1 job per round."""
+    thr = local_tail.resolve_threshold(local_tail_edges)
+    if thr <= 0 or G.edges.count() > thr:
+        return None
+    src, dst, _w = local_tail.collect_edges(G.edges, weighted=False)
+    import numpy as np
+
+    vertices = np.unique(np.concatenate([src, dst]))
+    return src, dst, vertices
+
+
 def maximal_independent_set(
-    G: Graph, seed: int = 42, max_rounds: int = 100
+    G: Graph, seed: int = 42, max_rounds: int = 100,
+    local_tail_edges: int | None = None,
 ) -> DataFrame:
     """Returns [vertex, in_mis] over all vertices."""
+    loc = _try_local(G, local_tail_edges)
+    if loc is not None:
+        out = local_tail.mis_local(loc[0], loc[1], loc[2], seed, max_rounds)
+        return G.edges.sparkSession.createDataFrame(
+            out, "vertex long, in_mis boolean"
+        )
     edges = _sym_edges(G).persist(StorageLevel.MEMORY_AND_DISK)
     active = G.vertices().transform(truncate_plan)
     chosen = None
@@ -93,7 +116,8 @@ def maximal_independent_set(
 
 
 def vertex_coloring(
-    G: Graph, seed: int = 42, max_colors: int = 200, check_every: int = 1
+    G: Graph, seed: int = 42, max_colors: int = 200, check_every: int = 1,
+    local_tail_edges: int | None = None,
 ) -> DataFrame:
     """Jones–Plassmann greedy coloring: [vertex, color] (0-based),
     proper — no edge joins two vertices of the same color.
@@ -116,6 +140,12 @@ def vertex_coloring(
     any k and the only trade is up to k-1 wasted no-op rounds (empty
     frames) after completion.
     """
+    loc = _try_local(G, local_tail_edges)
+    if loc is not None:
+        out = local_tail.coloring_local(loc[0], loc[1], loc[2], seed, max_colors)
+        return G.edges.sparkSession.createDataFrame(
+            out, "vertex long, color int"
+        )
     edges = _sym_edges(G).persist(StorageLevel.MEMORY_AND_DISK)
     active = G.vertices().transform(truncate_plan)
     colored = None  # (vertex, color)
@@ -188,6 +218,7 @@ def vertex_coloring(
         # iteration, so re-check before declaring failure (never
         # return a silently-partial coloring)
         if not active.isEmpty():
+            edges.unpersist()
             raise RuntimeError(
                 f"vertex_coloring did not color all vertices within "
                 f"max_colors={max_colors} rounds; raise max_colors"

@@ -708,28 +708,64 @@ def lsh_buckets_sql(dim: int = 64, n_planes: int = 8, seed: int = 42) -> str:
     return f"SELECT vec_id, CAST({expr} AS BIGINT) AS lsh_bucket FROM embeddings"
 
 
+def lsh_band_keys_sql(
+    dim: int = 64, n_bands: int = 4, band_bits: int = 6, seed: int = 42
+) -> str:
+    """Banded sign-LSH key twin of functions/ann.py:lsh_band_keys: one
+    UNION ALL arm per band, the SAME splitmix64 hyperplane literals
+    (plane index = band*band_bits + bit) and the same left-to-right
+    dot-product fold, key = band * 2^band_bits + bucket."""
+    from .functions.ann import _hyperplanes
+
+    planes = _hyperplanes(dim, n_bands * band_bits, seed)
+    arms = []
+    for band in range(n_bands):
+        bits = []
+        for j in range(band_bits):
+            p = planes[band * band_bits + j]
+            dot = " + ".join(
+                f"CAST(embedding[{c + 1}] AS DOUBLE) * {p[c]!r}" for c in range(dim)
+            )
+            bits.append(
+                f"CASE WHEN (0.0 + {dot}) > 0 THEN (1::BIGINT << {j}) ELSE 0 END"
+            )
+        expr = " + ".join(bits)
+        arms.append(
+            f"SELECT vec_id, CAST({band}::BIGINT * {1 << band_bits} "
+            f"+ ({expr}) AS BIGINT) AS bk FROM embeddings"
+        )
+    return " UNION ALL ".join(arms)
+
+
 def embedding_near_dup_sql(
-    dim: int = 64, n_planes: int = 6, seed: int = 42, threshold: float = 0.4
+    dim: int = 64, n_bands: int = 4, band_bits: int = 6, seed: int = 42,
+    threshold: float = 0.4,
 ) -> str:
     """Twin of functions/ann.py:embedding_near_duplicates — the same
-    literal hyperplanes (via lsh_buckets_sql), the same bucket
-    equi-join candidate generation (a < b), and the exact cosine
-    verify + threshold. Cosine rounds to 4 digits on both sides."""
-    bucket = lsh_buckets_sql(dim=dim, n_planes=n_planes, seed=seed)
+    banded hyperplane tables (via lsh_band_keys_sql), the same DISTINCT
+    any-band candidate generation (a < b), and the candidate-scoped
+    exact cosine verify + threshold. Cosine rounds to 4 digits on both
+    sides. (The bucket-size cap and hub salting change WHICH plan runs,
+    not the result, for caps above the gate corpus size.)"""
+    keys = lsh_band_keys_sql(dim=dim, n_bands=n_bands, band_bits=band_bits, seed=seed)
     return f"""
-WITH bk AS MATERIALIZED ({bucket}),
+WITH bk AS MATERIALIZED ({keys}),
 v AS MATERIALIZED (
     SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
     FROM embeddings
 ),
+cand AS (
+    SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+    FROM bk x JOIN bk y ON x.bk = y.bk AND x.vec_id < y.vec_id
+),
 p AS (
-    SELECT x.vec_id AS a, y.vec_id AS b,
+    SELECT a, b,
            list_sum(list_zip(va.e, vb.e).apply(pp -> pp[1] * pp[2]))
            / (sqrt(list_sum(va.e.apply(z -> z * z)))
               * sqrt(list_sum(vb.e.apply(z -> z * z)))) AS cos
-    FROM bk x JOIN bk y ON x.lsh_bucket = y.lsh_bucket AND x.vec_id < y.vec_id
-    JOIN v va ON va.vec_id = x.vec_id
-    JOIN v vb ON vb.vec_id = y.vec_id
+    FROM cand
+    JOIN v va ON va.vec_id = a
+    JOIN v vb ON vb.vec_id = b
 )
 SELECT a, b, ROUND(cos, 4) + 0.0 AS cosine FROM p WHERE cos >= {threshold}
 """

@@ -1008,18 +1008,21 @@ def q_embedding_lsh_buckets(spark, sf_dir):
 
 
 def q_embedding_near_dup(spark, sf_dir):
-    """LSH-blocked embedding near-dup pairs end-to-end
+    """Banded-LSH embedding near-dup pairs end-to-end
     (functions/ann.py:embedding_near_duplicates): candidates must
-    collide in the 6-plane sign-LSH bucket (never all-pairs), exact
-    cosine verifies. The SQL twin recomputes the SAME literal
-    hyperplanes, the bucket equi-join, and the cosine, so the
-    candidate set AND scores match value-exactly. Threshold 0.4
-    exercises a nontrivial pair set on the synthetic embeddings
-    (which plant no true dups; max pairwise cosine ≈ 0.55)."""
+    collide in ≥ 1 of 4 six-bit sign-LSH band tables (never
+    all-pairs), candidate-scoped exact cosine verifies. The SQL twin
+    recomputes the SAME literal hyperplanes per band, the DISTINCT
+    any-band candidate join, and the cosine, so the candidate set AND
+    scores match value-exactly. Threshold 0.4 exercises a nontrivial
+    pair set on the synthetic embeddings (which plant no true dups;
+    max pairwise cosine ≈ 0.55)."""
     from .functions.ann import embedding_near_duplicates
 
     emb = _read(spark, sf_dir, "embeddings")
-    pairs = embedding_near_duplicates(emb, threshold=0.4, n_planes=6)
+    pairs = embedding_near_duplicates(
+        emb, threshold=0.4, n_bands=4, band_bits=6
+    )
     return pairs.select(
         "a", "b", (F.round("cosine", 4) + F.lit(0.0)).alias("cosine")
     )
@@ -2413,7 +2416,7 @@ def oracle_sql():
         "simhash_pairs": ob.simhash_sql(max_hamming=8, bits=60),
         "embedding_lsh_buckets": ob.lsh_buckets_sql(dim=64, n_planes=8, seed=42),
         "embedding_near_dup": ob.embedding_near_dup_sql(
-            dim=64, n_planes=6, seed=42, threshold=0.4),
+            dim=64, n_bands=4, band_bits=6, seed=42, threshold=0.4),
         "doc_fingerprint": Q_DOC_FINGERPRINT_SQL,
         "media_meta": Q_MEDIA_META_SQL,
         "ivf_top1": ob.ivf_top1_sql(n_centroids=16, nprobe=4, stride_seed=1),

@@ -185,7 +185,7 @@ def test_bruteforce_topk_exact(spark, vecs):
 def test_lsh_topk_recall(spark, vecs):
     q = vecs.filter(F.col("vec_id") == 20)
     bf = {r["vec_id"] for r in cosine_topk_bruteforce(vecs, q, k=5).collect()}
-    ls = {r["vec_id"] for r in cosine_topk_lsh(vecs, q, k=5, n_planes=4).collect()}
+    ls = {r["vec_id"] for r in cosine_topk_lsh(vecs, q, k=5, n_bands=4, band_bits=2).collect()}
     assert len(bf & ls) >= 2  # bucketed search keeps most near neighbors
 
 
