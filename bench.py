@@ -13,10 +13,17 @@ Headline set (the north-rule metrics + pipeline representatives):
 - wcc_cs: full convergence, symmetrized purchase graph;
 - lpa_cs5: 5 supersteps label propagation;
 - tc_rmat14: full per-vertex triangle count on RMAT scale-14;
+- tc_rmat18: same on RMAT scale-18 × ef8 (~2.1M edges) — the size
+  where the 3-way join plan, not the per-job floor, dominates;
 - bfs_cs: frontier BFS from one customer;
 - minhash_docs: MinHash-LSH near-dup pipeline over documents;
 - cosine_top1: brute-force nearest neighbor over embeddings;
 - text_scan: language-ID + quality + token counting single-pass scan.
+
+Every query runs SPARK_GRAFT_BENCH_REPEAT times (default 3); the
+headline per-query number is the MEDIAN and the raw runs are published
+in ``query_runs`` — single runs on this host swing ±60% between quiet
+and noisy windows (BENCH/BASELINE.md variance ledger).
 
 Set SPARK_GRAFT_BENCH_ONLY=name1,name2 to run a subset. (The
 two-parallelism scaling harness, tools/bench_scaling.py, runs its own
@@ -60,13 +67,25 @@ def main():
 
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
+    query_runs: dict[str, dict] = {}
+    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3"))
 
     def run(name, fn):
+        """Median-of-``repeat`` per query: single runs on this host
+        mislead (BENCH/BASELINE.md's five-invocation ledger shows ±60%
+        swings between quiet and noisy windows on identical code), so
+        the headline number per query is the median and the raw runs
+        ride along in ``query_runs`` for the next reader."""
         if only and name not in only:
             return
-        t0 = time.perf_counter()
-        fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        ts = []
+        for _ in range(max(repeat, 1)):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(round(time.perf_counter() - t0, 3))
+        med = sorted(ts)[len(ts) // 2]
+        timings[name] = med
+        query_runs[name] = {"median": med, "min": min(ts), "runs": ts}
 
     # shared inputs (built outside the timed sections)
     e_cs = edges_cs(spark, sf_dir).persist()
@@ -136,6 +155,19 @@ def main():
 
         run("tc_rmat14", _tc_rmat)
 
+    if only is None or "tc_rmat18" in only:
+        # mid-size TC promoted to the suite (round-2 verdict #10):
+        # tc_rmat14's 131k edges sit on the per-job serial floor, so the
+        # suite never tracked the 3-way join at a size where the PLAN
+        # dominates; scale-18 × ef8 (~2.1M edges, power-law) does.
+
+        def _tc18():
+            e18 = rmat_edges(spark, scale=18, edgefactor=8, seed=42)
+            G = Graph(e18, directed=False, weighted=False)
+            triangle_count(G).agg(F.sum("counts")).collect()
+
+        run("tc_rmat18", _tc18)
+
     if only and "pagerank_rmat20" in only:
         # compute-dominated scaling target: 16.7M edges, power-law
         e20 = rmat_edges(spark, scale=20, edgefactor=16, seed=42).persist()
@@ -200,6 +232,8 @@ def main():
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "query_runs": query_runs,
+        "repeat": repeat,
         "sf": sf,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
         **extras,

@@ -3,12 +3,16 @@
 A 100 TB training-data pipeline carries media as ``binary`` columns
 with a typed metadata struct; decode / feature-extract / resize /
 frame-sample run as Arrow-batched pandas functions over
-``mapInPandas``. The media codec libraries (Pillow, ffmpeg, librosa)
-are not in this container, so the *decode kernel itself* is stubbed —
-``decode=strict`` raises ``NotImplementedError``, ``decode=fake``
-substitutes a deterministic bytes→feature hash — while all the
-Spark-side plumbing (schema, batching, partitioning, UDF signatures,
-metadata propagation) is real and tested.
+``mapInPandas``. Decode modes: ``'auto'`` runs the REAL kernels
+(Pillow for image/*, soundfile for audio/*) wherever those libraries
+import on the executors and falls back to a deterministic
+bytes→feature hash elsewhere; ``'strict'`` raises instead of falling
+back; ``'fake'`` always uses the stand-in (plumbing tests). This
+container ships no codec libraries, so here 'auto' == the fallback —
+the real kernels are exercised by skip-if tests wherever the
+environment provides the libs, and the Spark-side plumbing (schema,
+batching, partitioning, UDF signatures, metadata propagation) is real
+and tested everywhere.
 
 Schema convention::
 
@@ -69,6 +73,76 @@ def _fake_decode(data: bytes, n_features: int) -> np.ndarray:
     return rng.rand(n_features).astype(np.float32)
 
 
+def codec_available(kind: str) -> bool:
+    """True when the real decode kernel for ``kind`` ('image'/'audio')
+    can run in this environment (Pillow / soundfile importable)."""
+    try:
+        if kind == "image":
+            from PIL import Image  # noqa: F401
+            return True
+        if kind == "audio":
+            import soundfile  # noqa: F401
+            return True
+    except ImportError:
+        return False
+    return False
+
+
+def _real_decode_image(data: bytes, n_features: int) -> np.ndarray:
+    """Pillow decode → grayscale → bilinear downsample to n_features
+    cells → [0,1] floats. Deterministic (no RNG, fixed resample)."""
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(data)).convert("L")
+    side = int(np.ceil(np.sqrt(n_features)))
+    arr = np.asarray(
+        img.resize((side, side), Image.BILINEAR), dtype=np.float32
+    ).reshape(-1) / 255.0
+    return arr[:n_features]
+
+
+def _real_decode_audio(data: bytes, n_features: int) -> np.ndarray:
+    """soundfile decode → per-segment RMS energy over n_features equal
+    slices. Deterministic."""
+    import io
+
+    import soundfile as sf
+
+    samples, _rate = sf.read(io.BytesIO(data), dtype="float32", always_2d=True)
+    mono = samples.mean(axis=1)
+    if len(mono) == 0:
+        return np.zeros(n_features, dtype=np.float32)
+    segs = np.array_split(mono, n_features)
+    return np.array(
+        [float(np.sqrt(np.mean(s * s))) if len(s) else 0.0 for s in segs],
+        dtype=np.float32,
+    )
+
+
+def _decode_one(data: bytes, mime: str, n_features: int, decode: str) -> np.ndarray:
+    """Dispatch one payload. ``auto``: real kernel when the codec lib
+    imports AND the mime family is supported, else the deterministic
+    fake. ``strict``: real kernel or raise. ``fake``: always the
+    stand-in."""
+    if decode == "fake":
+        return _fake_decode(data, n_features)
+    kind = mime.split("/")[0] if mime else ""
+    if kind == "image" and codec_available("image"):
+        return _real_decode_image(data, n_features)
+    if kind == "audio" and codec_available("audio"):
+        return _real_decode_audio(data, n_features)
+    if decode == "strict":
+        raise NotImplementedError(
+            f"real decode for mime {mime!r} requires codec libraries "
+            "(Pillow for image/*, soundfile for audio/*) not importable "
+            "in this environment; use decode='auto' (deterministic "
+            "fallback) or decode='fake'"
+        )
+    return _fake_decode(data, n_features)
+
+
 def extract_features(
     df: DataFrame,
     media_col: str = "media",
@@ -78,23 +152,24 @@ def extract_features(
 ) -> DataFrame:
     """[id, features: array<float>] via Arrow-batched mapInPandas.
 
-    ``decode='strict'`` raises NotImplementedError (no codec libs in
-    this container); ``decode='fake'`` uses the deterministic stand-in
-    so the batching/schema path is fully exercised.
-    """
-    if decode not in ("fake", "strict"):
+    ``decode='auto'``: real decode (Pillow for image/*, soundfile for
+    audio/*) wherever those libraries import on the executors,
+    deterministic fake elsewhere. ``decode='strict'``: real decode or
+    raise. ``decode='fake'``: always the deterministic stand-in (the
+    plumbing-test mode)."""
+    if decode not in ("fake", "strict", "auto"):
         raise ValueError(decode)
-    src = df.select(F.col(id_col).alias("id"), F.col(media_col + ".data").alias("data"))
+    src = df.select(
+        F.col(id_col).alias("id"),
+        F.col(media_col + ".data").alias("data"),
+        F.col(media_col + ".mime").alias("mime"),
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decode == "strict":
-                raise NotImplementedError(
-                    "real media decoding requires codec libraries not present "
-                    "in this environment; use decode='fake' for plumbing tests"
-                )
             feats = [
-                _fake_decode(bytes(d), n_features).tolist() for d in pdf["data"]
+                _decode_one(bytes(d), m, n_features, decode).tolist()
+                for d, m in zip(pdf["data"], pdf["mime"])
             ]
             yield pd.DataFrame({"id": pdf["id"], "features": feats})
 
@@ -109,11 +184,62 @@ def resize_images(
     height: int = 224,
     decode: str = "fake",
 ) -> DataFrame:
-    """Resize stub: with decode='fake' the payload passes through
-    unchanged and only the declared dimensions update (a real impl
-    would re-encode); the metadata/schema path is real."""
-    if decode == "strict":
-        raise NotImplementedError("image resize requires codec libraries")
+    """Image resize. With Pillow importable and ``decode='auto'`` /
+    ``'strict'`` the payload is REALLY decoded, resized (bilinear) and
+    re-encoded as PNG, with the sha256 restamped over the new bytes
+    (the materialization invariant follows the payload). Otherwise
+    ``'fake'``/fallback passes the payload through unchanged and only
+    the declared dimensions update; ``'strict'`` without Pillow
+    raises."""
+    if decode not in ("fake", "strict", "auto"):
+        raise ValueError(decode)
+    if decode == "strict" and not codec_available("image"):
+        raise NotImplementedError(
+            "image resize requires Pillow, not importable in this "
+            "environment; use decode='auto' (metadata-only fallback) "
+            "or decode='fake'"
+        )
+    if decode in ("auto", "strict") and codec_available("image"):
+        m = media_col
+        other = [c for c in df.columns if c != m]
+        src = df.select(*other, F.col(m + ".data").alias("_data"),
+                        F.col(m + ".mime").alias("_mime"),
+                        F.col(m + ".duration_ms").alias("_dur"))
+
+        keep_cols = [c for c, _t in src.dtypes if c not in ("_data", "_mime")]
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import io
+
+            from PIL import Image
+
+            for pdf in batches:
+                out_bytes = []
+                for d in pdf["_data"]:
+                    img = Image.open(io.BytesIO(bytes(d)))
+                    buf = io.BytesIO()
+                    img.resize((width, height), Image.BILINEAR).save(buf, "PNG")
+                    out_bytes.append(buf.getvalue())
+                out = pdf[keep_cols].copy()
+                out["_data"] = out_bytes
+                out["_mime"] = "image/png"
+                yield out
+
+        fields = ", ".join(f"{c} {t}" for c, t in src.dtypes if c not in ("_data", "_mime"))
+        resized = src.mapInPandas(
+            run, schema=f"{fields}, _data binary, _mime string"
+        )
+        return resized.withColumn(
+            m,
+            F.struct(
+                F.col("_data").alias("data"),
+                F.col("_mime").alias("mime"),
+                F.lit(width).cast("int").alias("width"),
+                F.lit(height).cast("int").alias("height"),
+                F.col("_dur").alias("duration_ms"),
+                F.sha2(F.col("_data"), 256).alias("sha256"),
+            ),
+        ).drop("_data", "_mime", "_dur")
     m = media_col
     return df.withColumn(
         m,
@@ -139,9 +265,17 @@ def sample_frames(
     """Frame sampling stub for video: emits one feature row per sampled
     timestamp (duration_ms // every_ms rows, ≥1), features from the
     deterministic fake decoder keyed by (payload, frame index). The
-    explode/batch shape matches a real frame sampler."""
+    explode/batch shape matches a real frame sampler. Video decode
+    needs an ffmpeg binding no environment here provides, so
+    ``decode='auto'`` always takes the deterministic fallback and
+    ``'strict'`` raises."""
+    if decode not in ("fake", "strict", "auto"):
+        raise ValueError(decode)
     if decode == "strict":
-        raise NotImplementedError("video frame sampling requires codec libraries")
+        raise NotImplementedError(
+            "video frame sampling requires an ffmpeg binding; use "
+            "decode='auto' (deterministic fallback) or decode='fake'"
+        )
     src = df.select(
         F.col(id_col).alias("id"),
         F.col(media_col + ".data").alias("data"),

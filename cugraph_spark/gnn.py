@@ -174,6 +174,7 @@ class BulkSampler:
         weight, hop, batch_partition] for every pending batch."""
         if self._pending is None:
             raise ValueError("no batches added")
+        self._edge_caches: list = []
         out = uniform_neighbor_sample_batched(
             self.graph,
             self._pending,
@@ -182,6 +183,7 @@ class BulkSampler:
             with_replacement=self.with_replacement,
             start_col=self.start_col_name,
             batch_col=self.batch_col_name,
+            cache_out=self._edge_caches,
         )
         return _with_batch_partition(out, self.batches_per_partition)
 
@@ -205,6 +207,14 @@ class BulkSampler:
                 self.output_path.rstrip("/") + "_renumber_map"
             )
         write_samples(out, self.output_path)
+        # the terminal write ran — free the sampler's checkpointed edge
+        # blocks now instead of waiting on driver GC (a training loop
+        # flushing many samplers otherwise accumulates them)
+        from .plans.lineage import release_checkpoint
+
+        for cached in getattr(self, "_edge_caches", []):
+            release_checkpoint(cached)
+        self._edge_caches = []
         self._pending = None
         self.flush_count += 1
 
@@ -239,12 +249,18 @@ class DistSampleReader:
     by construction."""
 
     def __init__(self, directory: str, spark):
+        from pyspark.errors import AnalysisException
+
         try:
             self._df = spark.read.parquet(directory)
-        except Exception:
+        except AnalysisException as e:
             # a sampler that produced zero edges leaves only _SUCCESS
             # (partitionBy of an empty frame writes no data files), so
-            # schema inference fails — iterate as empty, don't crash
+            # schema inference fails — iterate as empty. ONLY that
+            # case: a wrong path, permission error, or corrupt dataset
+            # must raise, or a training loop silently runs on no data.
+            if "UNABLE_TO_INFER_SCHEMA" not in str(e):
+                raise
             self._df = None
             self._parts = []
             self._i = 0
@@ -339,6 +355,18 @@ class FeatureStore:
     """
 
     def __init__(self, spark=None, backend: str = "numpy"):
+        from pyspark.sql import SparkSession
+
+        if spark is not None and not isinstance(spark, SparkSession):
+            # the reference spells FeatureStore(backend=...); ported
+            # code calling FeatureStore('torch') would otherwise bind
+            # the backend string to `spark`, pass the backend check,
+            # and fail much later with a confusing createDataFrame
+            # error
+            raise TypeError(
+                f"first argument must be a SparkSession (got "
+                f"{type(spark).__name__!r}); pass backend= by keyword"
+            )
         if backend != "numpy":
             raise ValueError(
                 f"backend {backend} not supported. Supported backends "
@@ -395,16 +423,41 @@ class FeatureStore:
     # reference API alias: no backend cast exists on the numpy path
     add_data_no_cast = add_data
 
-    def get_data(self, indices, type_name: str, feat_name: str):
+    def get_data_df(self, indices, type_name: str, feat_name: str) -> DataFrame:
+        """Distributed variant of :meth:`get_data`: the broadcast
+        semi-join WITHOUT the driver collect — [vertex, feat], for
+        consumers that keep the minibatch on the cluster (or fetch
+        sets beyond ``max_vertices``)."""
+        if type_name not in self.fd or feat_name not in self.fd[type_name]:
+            raise ValueError(f"feature {type_name}/{feat_name} not found")
+        df = self.fd[type_name][feat_name]
+        spark = df.sparkSession
+        want = spark.createDataFrame(
+            [(int(i),) for i in set(int(i) for i in indices)], "vertex long"
+        )
+        return df.join(F.broadcast(want), "vertex")
+
+    def get_data(self, indices, type_name: str, feat_name: str,
+                 max_vertices: int = 1_048_576):
         """Fetch ``feat[indices]`` for a minibatch of vertex ids —
         returns a 2-D numpy array aligned (and duplicated) exactly like
-        the reference's array indexing."""
+        the reference's array indexing.
+
+        ``max_vertices`` guards the driver collect (the minibatch
+        contract keeps this small; the guard catches a full-graph id
+        list passed by mistake — use :meth:`get_data_df` for those)."""
         import numpy as np
 
         if type_name not in self.fd or feat_name not in self.fd[type_name]:
             raise ValueError(f"feature {type_name}/{feat_name} not found")
         df = self.fd[type_name][feat_name]
         idx = [int(i) for i in indices]
+        if len(idx) > max_vertices:
+            raise ValueError(
+                f"get_data collects features to the driver; got "
+                f"{len(idx)} indices > max_vertices={max_vertices} — "
+                "use get_data_df for cluster-side fetches"
+            )
         spark = df.sparkSession
         want = spark.createDataFrame([(i,) for i in set(idx)], "vertex long")
         rows = df.join(F.broadcast(want), "vertex").collect()

@@ -198,6 +198,7 @@ def uniform_neighbor_sample(
     fanout: list[int],
     seed: int = 42,
     with_replacement: bool = False,
+    cache_out: list | None = None,
 ) -> DataFrame:
     """GNN-style layered neighbor sampling
     (``uniform_neighbor_sample_impl.hpp``): per hop h, sample up to
@@ -207,13 +208,22 @@ def uniform_neighbor_sample(
     replacement: fanout[h] independent slot draws per frontier vertex
     (slot s draws ``xxhash64(src, hop, s, seed) mod degree``), so the
     same neighbor can repeat. Both are vectorized, deterministic, and
-    partitioning-invariant."""
+    partitioning-invariant.
+
+    Cache retention: the edge projection is lazily local-checkpointed
+    and its blocks live until driver GC collects the frame. A loop
+    calling the sampler many times should pass ``cache_out=[]`` and
+    call ``plans.lineage.release_checkpoint`` on the appended frame
+    once the returned plan's terminal action has run (BulkSampler.flush
+    does this)."""
     # lazy stats-keeping checkpoint, not persist/unpersist: this loop
     # runs ZERO actions, so an unpersist-before-return would drop the
     # cache before the caller's first action and every hop would rescan
     # the source; the checkpoint RDD materializes once inside the
     # terminal job (one-shot — stats can't compound here)
     edges = G.edges.select(SRC, DST, WGT).transform(checkpoint_keep_stats)
+    if cache_out is not None:
+        cache_out.append(edges)
     frontier = start_vertices.select(
         F.col(start_vertices.columns[0]).alias("v")
     ).distinct()
@@ -264,6 +274,7 @@ def uniform_neighbor_sample_batched(
     with_replacement: bool = False,
     start_col: str = "_START_",
     batch_col: str = "_BATCH_",
+    cache_out: list | None = None,
 ) -> DataFrame:
     """Batched GNN minibatch sampling — every batch in ONE plan.
 
@@ -282,8 +293,10 @@ def uniform_neighbor_sample_batched(
     [batch_id, src, dst, weight, hop].
     """
     # lazy stats-keeping checkpoint — same zero-actions-in-loop reason
-    # as uniform_neighbor_sample above
+    # and cache-retention contract as uniform_neighbor_sample above
     edges = G.edges.select(SRC, DST, WGT).transform(checkpoint_keep_stats)
+    if cache_out is not None:
+        cache_out.append(edges)
     frontier = seeds.select(
         F.col(batch_col).cast("long").alias("b"),
         F.col(start_col).alias("v"),

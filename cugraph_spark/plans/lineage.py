@@ -50,6 +50,21 @@ def checkpoint_keep_stats(df: DataFrame, eager: bool = False) -> DataFrame:
     return DataFrame(df._jdf.localCheckpoint(eager), spark)
 
 
+def release_checkpoint(df: DataFrame) -> None:
+    """Free the executor blocks held by a local checkpoint produced by
+    :func:`checkpoint_keep_stats` / :func:`truncate_plan`. Local
+    checkpoints otherwise live until driver-side GC collects the
+    DataFrame — long-running loops that create one per call (e.g. a
+    DistSampler loop invoking the neighbor samplers) should release
+    the terminal one explicitly. Safe no-op on any other plan."""
+    try:
+        node = df._jdf.queryExecution().analyzed()
+        if node.getClass().getName() == _LOGICAL_RDD:
+            node.rdd().unpersist(False)
+    except Exception:  # pragma: no cover - JVM API drift safety net
+        pass
+
+
 def truncate_plan(df: DataFrame, eager: bool = False) -> DataFrame:
     """``localCheckpoint(eager)`` + drop the origin stats/constraints
     from the resulting ``LogicalRDD`` leaf. Falls back to the plain

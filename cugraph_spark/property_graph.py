@@ -245,12 +245,26 @@ def hypergraph(
     """
     cols = columns or [c for c in df.columns if c != row_id_col]
     categories = categories or {}
-    base = df.withColumn(
-        "__rid",
-        F.concat(F.lit("row::"), F.col(row_id_col).cast("string"))
-        if row_id_col in df.columns
-        else F.concat(F.lit("row::"), F.monotonically_increasing_id().cast("string")),
-    )
+    # Row identity: row_id_col when present; otherwise the row's
+    # CONTENT HASH (xxhash64 over every column with a null sentinel) —
+    # deterministic at any parallelism, unlike the round-2
+    # monotonically_increasing_id fallback whose ids depended on
+    # partition layout (two runs at different core counts renamed every
+    # row-node). Exact duplicate rows collapse to one row-node under
+    # the fallback; pass row_id_col for multiset semantics.
+    if row_id_col in df.columns:
+        rid = F.concat(F.lit("row::"), F.col(row_id_col).cast("string"))
+    else:
+        rid = F.concat(
+            F.lit("row::"),
+            F.xxhash64(
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+                    for c in df.columns
+                ]
+            ).cast("string"),
+        )
+    base = df.withColumn("__rid", rid)
     val_nodes = [
         F.when(
             F.col(c).isNotNull(),

@@ -224,8 +224,47 @@ def test_multimodal_plumbing(spark):
     # determinism: same payload → same features
     again = extract_features(df, n_features=8).collect()
     assert sorted(map(str, feats)) == sorted(map(str, again))
-    with pytest.raises(Exception):
-        extract_features(df, decode="strict").collect()
+    # 'auto' without codec libs = the deterministic fallback
+    from cugraph_spark.functions.multimodal import codec_available
+
+    auto = extract_features(df, n_features=8, decode="auto").collect()
+    if not codec_available("image"):
+        assert sorted(map(str, auto)) == sorted(map(str, feats))
+        with pytest.raises(Exception):
+            extract_features(df, decode="strict").collect()
+    else:
+        # fake PNG magic bytes are not a decodable image
+        with pytest.raises(Exception):
+            extract_features(df, decode="strict").collect()
+
+
+def test_multimodal_real_image_decode(spark):
+    """Real Pillow kernel — runs wherever the environment provides it
+    (skipped in codec-free containers)."""
+    from cugraph_spark.functions.multimodal import codec_available
+    from cugraph_spark.functions.multimodal import resize_images
+
+    if not codec_available("image"):
+        pytest.skip("Pillow not importable in this environment")
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (32, 16), (200, 10, 10)).save(buf, "PNG")
+    df = attach_media(
+        spark.createDataFrame([(1, buf.getvalue())], "doc_id long, raw binary"),
+        "raw", "image/png", width=32, height=16,
+    )
+    feats = extract_features(df, n_features=9, decode="auto").first()["features"]
+    assert len(feats) == 9 and all(0.0 <= f <= 1.0 for f in feats)
+    out = resize_images(df, width=8, height=8, decode="auto").first()["media"]
+    assert (out["width"], out["height"]) == (8, 8)
+    img = Image.open(io.BytesIO(bytes(out["data"])))
+    assert img.size == (8, 8)
+    import hashlib
+
+    assert out["sha256"] == hashlib.sha256(bytes(out["data"])).hexdigest()
 
 
 def test_sample_frames(spark):

@@ -260,6 +260,33 @@ def test_feature_store_numpy_and_dataframe(spark):
         fs.add_data(mixed, "bad", "mix")
 
 
+def test_feature_store_guards(spark):
+    import numpy as np
+    import pytest
+    from cugraph_spark.gnn import FeatureStore
+
+    # ported reference code FeatureStore('torch') must fail FAST, not
+    # bind the backend string to the spark slot
+    with pytest.raises(TypeError):
+        FeatureStore("torch")
+    fs = FeatureStore(spark)
+    fs.add_data(np.arange(12.0).reshape(6, 2), "n", "x")
+    with pytest.raises(ValueError, match="max_vertices"):
+        fs.get_data(list(range(6)) * 2, "n", "x", max_vertices=5)
+    # the distributed variant has no driver collect to guard
+    df = fs.get_data_df([0, 1, 2], "n", "x")
+    assert df.count() == 3
+    assert set(df.columns) == {"vertex", "feat"}
+
+
+def test_dist_sample_reader_raises_on_missing_path(spark, tmp_path):
+    import pytest
+    from cugraph_spark.gnn import DistSampleReader
+
+    with pytest.raises(Exception):
+        DistSampleReader(str(tmp_path / "no_such_dataset"), spark)
+
+
 def test_batched_single_batch_matches_unbatched_shape(spark):
     """One batch through the batched path produces a valid sample of
     the same invariant shape as the unbatched sampler (draw hashes

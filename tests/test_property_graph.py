@@ -87,6 +87,21 @@ def test_hypergraph_bipartite(spark):
     assert G.number_of_vertices() == 3 + 4  # 3 rows + {c1::x, c1::y, c2::p, c2::q}
 
 
+def test_hypergraph_rowid_fallback_parallelism_invariant(spark):
+    """Without a row_id column, row-node ids come from a content hash —
+    the SAME edges at any partition count (the round-2
+    monotonically_increasing_id fallback renamed row-nodes per
+    layout)."""
+    rows = [("a%d" % i, "b%d" % (i % 3)) for i in range(30)]
+    d1 = spark.createDataFrame(rows, "c1 string, c2 string").repartition(2)
+    d8 = spark.createDataFrame(rows, "c1 string, c2 string").repartition(8)
+    e1 = sorted(map(tuple, hypergraph(d1).collect()))
+    e8 = sorted(map(tuple, hypergraph(d8).collect()))
+    assert e1 == e8
+    # 30 distinct rows → 30 distinct row-nodes (hash identity)
+    assert len({s for s, _d, _w in e1 if s.startswith("row::")}) == 30
+
+
 def test_hypergraph_direct(spark):
     df = spark.createDataFrame(
         [(0, "x", "p"), (1, "x", "q")], "row_id long, c1 string, c2 string"

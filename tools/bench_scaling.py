@@ -59,14 +59,29 @@ def _sweep_orphan_scratch() -> None:
     import shutil
     import subprocess as sp
 
-    alive = sp.run(["pgrep", "-c", "java"], capture_output=True, text=True)
+    try:
+        alive = sp.run(["pgrep", "-c", "java"], capture_output=True, text=True)
+    except OSError:
+        # pgrep missing/unrunnable → zero confidence there is no live
+        # JVM; sweeping /tmp here could delete a concurrent Spark job's
+        # shuffle scratch. Skip.
+        return
+    if alive.returncode not in (0, 1):  # 1 = "no processes matched"
+        return
     if alive.stdout.strip() not in ("", "0"):
         return
+    me = os.getuid()
     for base in ("/dev/shm/spark-graft-local", "/tmp"):
         p = Path(base)
         if not p.is_dir():
             continue
         for d in p.iterdir():
+            # only dirs this user owns — never another tenant's scratch
+            try:
+                if d.stat().st_uid != me:
+                    continue
+            except OSError:
+                continue
             if d.name.startswith(("blockmgr-", "spark-")):
                 shutil.rmtree(d, ignore_errors=True)
 
