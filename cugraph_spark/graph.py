@@ -402,15 +402,41 @@ class Graph:
         real deployment, not something to re-derive with a full distinct
         over E for every operator call (the distinct over a scale-22
         edge list costs more than all WCC supersteps combined — see
-        BENCH/e2e_scaling.jsonl superstep_walls). Keyed on the edges
-        object identity so `g.edges = ...` rebinds invalidate it; the
-        cache tuple holds the DataFrame ref, so the id cannot be
-        recycled while cached."""
+        BENCH/e2e_scaling.jsonl superstep_walls)."""
+        return self.vertex_stats()[0]
+
+    def vertex_stats(self) -> tuple:
+        """Memoized ``(count, min_id, max_id)`` over the vertex set —
+        ONE job shared by every caller that needs V (broadcast-vs-shuffle
+        join cutover) or the id bounds (int32 compaction in WCC/triangle
+        count). On a real deployment all three are renumber/table
+        metadata; deriving them per-operator would repeat the O(E)
+        distinct. Keyed on the edges object identity so `g.edges = ...`
+        rebinds invalidate it; the cache tuple holds the DataFrame ref,
+        so the id cannot be recycled while cached. ``min_id``/``max_id``
+        are whatever the vertex dtype orders by (lexicographic for
+        string ids — compaction callers must check ``isinstance(int)``)."""
         cache = self._nv_cache
         if cache is None or cache[0] is not self.edges:
-            cache = (self.edges, self.vertices().count())
+            row = self.vertices().agg(
+                F.count("*").alias("n"),
+                F.min("vertex").alias("lo"),
+                F.max("vertex").alias("hi"),
+            ).first()
+            cache = (self.edges, int(row["n"]), row["lo"], row["hi"])
             self._nv_cache = cache
-        return cache[1]
+        return cache[1], cache[2], cache[3]
+
+    def cached_vertex_stats(self) -> tuple | None:
+        """``vertex_stats()`` if already memoized, else ``None`` —
+        callers that only *opportunistically* want the bounds (triangle
+        count's compaction pre-scan is a cheaper column-pruned agg than
+        the distinct this memo costs cold) use this to share a warm
+        memo without ever paying for a cold one."""
+        cache = self._nv_cache
+        if cache is None or cache[0] is not self.edges:
+            return None
+        return cache[1], cache[2], cache[3]
 
     def number_of_edges(self) -> int:
         if self.directed:

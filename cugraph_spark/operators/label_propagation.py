@@ -74,43 +74,58 @@ def label_propagation(
     edges = e.persist(StorageLevel.MEMORY_AND_DISK)
 
     start_iter = 0
+    state = None
     if resume and checkpoint is not None and checkpoint.latest_iteration() is not None:
         it0 = checkpoint.latest_iteration()
         saved, meta = checkpoint.load(spark, it0)
         state = saved.repartition(P, "vertex").transform(truncate_plan)
         start_iter = meta["iteration"] + 1
-    else:
-        state = (
-            G.vertices()
-            .withColumn("labels", F.col("vertex"))
-            .repartition(P, "vertex")
-            .transform(truncate_plan)
-        )
 
     V = G.number_of_vertices()
     for it in range(start_iter, max_iter):
         checking = (it + 1) % check_every == 0 or it == max_iter - 1
         # (dst, label(src), w) → Σw per (dst,label) → argmax by (w, -label)
-        sside = vertex_join_side(state, V)
-        scores = (
-            edges.join(sside, edges[SRC] == sside["vertex"])
-            .groupBy(F.col(DST), F.col("labels").alias("cand"))
-            .agg(F.sum(WGT).alias("w"))
-        )
+        if state is None:
+            # superstep 0 on the identity labeling: label(src) IS src,
+            # so the edges⋈state join vanishes — scores come straight
+            # off the edge cache (map-side combinable), and because the
+            # graph is symmetrized every vertex appears as dst, so no
+            # initial vertices() distinct is needed either. Semantics
+            # identical to the join path (own label only matters when a
+            # vertex has no in-edges, impossible here).
+            scores = edges.groupBy(
+                F.col(DST), F.col(SRC).alias("cand")
+            ).agg(F.sum(WGT).alias("w"))
+        else:
+            sside = vertex_join_side(state, V)
+            scores = (
+                edges.join(sside, edges[SRC] == sside["vertex"])
+                .groupBy(F.col(DST), F.col("labels").alias("cand"))
+                .agg(F.sum(WGT).alias("w"))
+            )
         best = scores.groupBy(DST).agg(
             F.max(F.struct(F.col("w"), (-F.col("cand")).alias("neg"))).alias("m")
         ).select(F.col(DST), (-F.col("m.neg")).alias("new_label"))
 
         # old label carried through → changed-count without a second join
-        new_full = (
-            state.join(best.hint("shuffle_hash"), state["vertex"] == best[DST], "left")
-            .select(
-                state["vertex"],
-                F.coalesce("new_label", state["labels"]).alias("labels"),
-                state["labels"].alias("old"),
+        if state is None:
+            new_full = best.select(
+                F.col(DST).alias("vertex"),
+                F.col("new_label").alias("labels"),
+                F.col(DST).alias("old"),
+            ).transform(truncate_plan)
+        else:
+            new_full = (
+                state.join(
+                    best.hint("shuffle_hash"), state["vertex"] == best[DST], "left"
+                )
+                .select(
+                    state["vertex"],
+                    F.coalesce("new_label", state["labels"]).alias("labels"),
+                    state["labels"].alias("old"),
+                )
+                .transform(truncate_plan)
             )
-            .transform(truncate_plan)
-        )
 
         if not checking:
             # stay lazy: this superstep executes inside the next
@@ -138,4 +153,6 @@ def label_propagation(
             break
 
     edges.unpersist()
+    if state is None:  # max_iter == 0: the identity labeling
+        state = G.vertices().withColumn("labels", F.col("vertex"))
     return state.select("vertex", "labels")

@@ -57,23 +57,38 @@ def bfs(
 ) -> DataFrame:
     """Returns [vertex, distance, predecessor]; unreachable vertices get
     distance -1, predecessor -1 (reference python contract uses the
-    max-distance sentinel; -1 is our deterministic equivalent)."""
+    max-distance sentinel; -1 is our deterministic equivalent).
+
+    Scale shape: the loop never rewrites the O(V) state — each level
+    materializes only the FRONTIER-sized set of newly reached vertices
+    (``cand`` anti-joined against the visited set), and the full
+    [vertex, distance, predecessor] table is assembled ONCE at the end
+    from the per-level frames. Per-level cost is O(frontier·deg +
+    visited), not O(V) join + O(V) shuffle + O(V) checkpoint per level
+    (the round-2 shape) — on a 100 TB graph the early/late levels touch
+    KB, not the whole vertex set. Predecessor is the min frontier
+    in-neighbor at the level of first reach, exactly as before."""
     spark = G.edges.sparkSession
     P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     edges = (
         G.edges.select(SRC, DST).repartition(P, SRC).persist(StorageLevel.MEMORY_AND_DISK)
     )
-    state = (
-        G.vertices()
-        .select(
-            "vertex",
-            F.when(F.col("vertex") == source, F.lit(0)).otherwise(F.lit(-1)).cast("long").alias("distance"),
-            F.lit(-1).cast("long").alias("predecessor"),
+    # the source frontier comes off the (filter-pushed) edge cache, not
+    # an O(E) vertices() distinct; a source absent from the graph yields
+    # an empty frontier → all-unreachable output, as before
+    f0 = (
+        edges.select(F.col(SRC).alias("vertex"))
+        .filter(F.col("vertex") == source)
+        .unionByName(
+            edges.select(F.col(DST).alias("vertex")).filter(F.col("vertex") == source)
         )
-        .repartition(P, "vertex")
-        .transform(truncate_plan)
+        .distinct()
+        .transform(truncate_plan)  # materialized ≤1 row: the final
+        # assembly below must not re-read the edge cache after unpersist
     )
-    frontier = state.filter(F.col("distance") == 0).select("vertex")
+    frontier = f0
+    visited = f0.select("vertex")
+    levels: list[DataFrame] = []  # (vertex, pred) per depth, disjoint by construction
     depth = 0
     limit = max_depth if max_depth is not None else 2**31
     while depth < limit:
@@ -84,28 +99,39 @@ def bfs(
             .agg(F.min(SRC).alias("pred"))
         )
         nxt = (
-            cand.join(state, cand[DST] == state["vertex"])
-            .filter(F.col("distance") == -1)
+            cand.join(visited, cand[DST] == visited["vertex"], "left_anti")
             .select(F.col(DST).alias("vertex"), F.col("pred"))
             .transform(truncate_plan)
         )
         n_new = nxt.count()
         if n_new == 0:
             break
-        state = (
-            state.join(nxt.withColumnRenamed("vertex", "nv"),
-                       state["vertex"] == F.col("nv"), "left")
-            .select(
-                state["vertex"],
-                F.when(F.col("nv").isNotNull(), F.lit(depth)).otherwise(F.col("distance")).alias("distance"),
-                F.when(F.col("nv").isNotNull(), F.col("pred")).otherwise(F.col("predecessor")).alias("predecessor"),
-            )
-            .repartition(P, "vertex")
-            .transform(truncate_plan)
-        )
+        levels.append(nxt.withColumn("distance", F.lit(depth).cast("long")))
+        visited = visited.unionByName(nxt.select("vertex"))
+        if depth % 8 == 0:
+            # bound the visited union's plan depth on high-diameter graphs
+            visited = visited.transform(truncate_plan)
         frontier = nxt.select("vertex")
+    reached = f0.select(
+        "vertex", F.lit(0).cast("long").alias("distance"),
+        F.lit(-1).cast("long").alias("predecessor"),
+    )
+    for lv in levels:
+        reached = reached.unionByName(
+            lv.select("vertex", "distance", F.col("pred").alias("predecessor"))
+        )
+    out = (
+        G.vertices()
+        .join(reached.withColumnRenamed("vertex", "rv"),
+              F.col("vertex") == F.col("rv"), "left")
+        .select(
+            "vertex",
+            F.coalesce("distance", F.lit(-1)).cast("long").alias("distance"),
+            F.coalesce("predecessor", F.lit(-1)).cast("long").alias("predecessor"),
+        )
+    )
     edges.unpersist()
-    return state.select("vertex", "distance", "predecessor")
+    return out
 
 
 def sssp(

@@ -80,14 +80,24 @@ def _oriented_edges(G: Graph, prune_rounds: int = 0) -> DataFrame:
     One pre-scan bounds agg (column-pruned, before the distinct) pays
     for itself many times over at any real size."""
     pre = G.edges.select(SRC, DST).filter(F.col(SRC) < F.col(DST))
-    bounds = pre.agg(
-        F.min(F.least(SRC, DST)).alias("lo"),
-        F.max(F.greatest(SRC, DST)).alias("hi"),
-    ).first()
+    stats = G.cached_vertex_stats()
+    if stats is not None:
+        # a warm Graph.vertex_stats memo (V is table metadata on a real
+        # deployment) makes the bounds free; only pay the column-pruned
+        # agg scan when the memo is cold (it is cheaper than the
+        # distinct the memo would cost, and TC never needs V itself)
+        lo, hi = stats[1], stats[2]
+    else:
+        bounds = pre.agg(
+            F.min(F.least(SRC, DST)).alias("lo"),
+            F.max(F.greatest(SRC, DST)).alias("hi"),
+        ).first()
+        lo, hi = bounds["lo"], bounds["hi"]
     if (
-        bounds["hi"] is not None
-        and bounds["lo"] > -(2**31)
-        and bounds["hi"] < 2**31 - 1
+        isinstance(lo, int)
+        and isinstance(hi, int)
+        and lo > -(2**31)
+        and hi < 2**31 - 1
     ):
         pre = pre.select(
             F.col(SRC).cast("int").alias(SRC),

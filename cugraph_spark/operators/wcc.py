@@ -20,8 +20,15 @@ with hash-min propagation accelerated by pointer jumping:
   Spark analog of the reference's contraction levels; together they give
   O(log d) supersteps instead of O(diameter).
 
-Scale notes: the O(E) edge side is hash-partitioned on ``src`` once and
-persisted; each superstep re-shuffles only the O(V) label vector. The
+Scale notes: the O(E) edge side is persisted once — hash-partitioned on
+``src`` only when V exceeds the broadcast cutover (below it the state is
+broadcast and the edge cache is scanned in place, so pre-partitioning
+would be a wasted O(E) shuffle); each superstep re-shuffles only the
+O(V) label vector. Superstep 0 runs on the identity labeling, which
+collapses it to one map-side-combinable ``groupBy(dst).min(src)`` — no
+initial vertex-set distinct, no join — and the same action fills the
+edge persist. V and the int32-compaction bounds come from the memoized
+``Graph.vertex_stats`` (table metadata on a real deployment). The
 changed-count convergence check is the single action per superstep
 (host_scalar_allreduce analog); ``check_every=k`` batches it to one
 action per k supersteps (overshoot-safe: a stable labeling is a
@@ -81,35 +88,51 @@ def weakly_connected_components(
 
     P = resolve_partitions(num_partitions, G.edges)
 
-    e = G.edges.select(SRC, DST).filter(F.col(SRC) != F.col(DST))
+    # V + id bounds come from ONE memoized job (Graph.vertex_stats —
+    # renumber/table metadata on a real deployment); no standalone
+    # pre-loop bounds scan (round-2 e2e profile: every driver action
+    # before the loop lands in the first checking wall).
+    V, lo, hi = G.vertex_stats()
+
+    e = G.edges.select(SRC, DST)
+    # Self-loops stay: (v,v) contributes v's own label to min(N(v)),
+    # which `least(own, nbr_min)` includes anyway — and keeping them
+    # guarantees every vertex of the symmetrized graph appears as DST,
+    # so superstep 0 below needs no vertices() distinct.
+    #
     # Compact vertex ids to int32 when they fit — the reference's own
     # narrow-id rule (vertex ids are int32 OR int64, chosen by range:
     # simpleGraph.py:253-258, renumber_edgelist_impl.cuh). The WCC
     # superstep is pure streaming (min over ids, no arithmetic), so at
     # high parallelism it is memory-bandwidth-bound; halving the bytes
-    # per edge directly raises the superstep throughput ceiling. The
-    # one bounds-check scan happens pre-loop on the un-persisted input;
-    # output labels are cast back to long (schema unchanged).
-    bounds = e.agg(
-        F.min(F.least(SRC, DST)).alias("lo"),
-        F.max(F.greatest(SRC, DST)).alias("hi"),
-    ).first()
+    # per edge directly raises the superstep throughput ceiling.
+    # Output labels are cast back to long (schema unchanged).
     compact = (
-        bounds["hi"] is not None
-        and bounds["lo"] > -(2**31)
-        and bounds["hi"] < 2**31 - 1
+        isinstance(lo, int)
+        and isinstance(hi, int)
+        and lo > -(2**31)
+        and hi < 2**31 - 1
     )
     if compact:
         e = e.select(
             F.col(SRC).cast("int").alias(SRC),
             F.col(DST).cast("int").alias(DST),
         )
-    if not G.pre_partitioned or compact:  # select/filter preserve a bucketed layout
+    from ..plans.strategy import BROADCAST_VERTEX_LIMIT
+
+    # Hash-partitioning the edge side by SRC only pays when the
+    # superstep join is shuffle-hash (V above the broadcast cutover):
+    # with a broadcast state the edge cache is scanned in place and the
+    # repartition would be a pure O(E) shuffle for nothing. The
+    # repartition (when needed) and the persist both materialize
+    # lazily inside the first superstep's action — zero standalone jobs.
+    if V > BROADCAST_VERTEX_LIMIT and (not G.pre_partitioned or compact):
         e = e.repartition(P, SRC)
     edges = e.persist(StorageLevel.MEMORY_AND_DISK)
     id_t = "int" if compact else "long"
 
     start_iter = 0
+    state = None
     if resume and checkpoint is not None and checkpoint.latest_iteration() is not None:
         it0 = checkpoint.latest_iteration()
         saved, meta = checkpoint.load(spark, it0)
@@ -122,42 +145,55 @@ def weakly_connected_components(
             .transform(truncate_plan)
         )
         start_iter = meta["iteration"] + 1
-    else:
-        state = (
-            G.vertices()
-            .select(F.col("vertex").cast(id_t).alias("vertex"))
-            .withColumn("labels", F.col("vertex"))
-            .repartition(P, "vertex")
-            .transform(truncate_plan)
-        )
 
     import time as _time
 
-    V = G.number_of_vertices()
     _t0 = _time.perf_counter()
     for it in range(start_iter, max_iter):
         checking = (it + 1) % check_every == 0 or it == max_iter - 1
-        # hash-min over neighbors (isolated vertices keep their own label)
-        sside = vertex_join_side(state, V)
-        mins = (
-            edges.join(sside, edges[SRC] == sside["vertex"])
-            .groupBy(DST)
-            .agg(F.min("labels").alias("nbr_min"))
-        )
-        # carry the old label through so the changed-count needs no extra
-        # join; checkpoint `lowered` so the pointer-jump self-join reads
-        # one materialized RDD instead of recomputing the mins join twice
-        lowered = (
-            state.join(mins.hint("shuffle_hash"), state["vertex"] == mins[DST], "left")
-            .select(
-                state["vertex"],
-                F.least(
-                    state["labels"], F.coalesce("nbr_min", state["labels"])
-                ).alias("labels"),
-                state["labels"].alias("old"),
+        if state is None:
+            # Superstep 0 on the identity labeling collapses to ONE
+            # map-side-combinable aggregation: min over {v} ∪ N(v) is
+            # least(dst, min(src)) grouped by dst — no initial
+            # vertices() distinct, no edges⋈state join. Every vertex
+            # appears as DST because the graph is symmetrized and
+            # self-loops were kept above. This same action also fills
+            # the `edges` persist for the remaining supersteps.
+            lowered = (
+                edges.groupBy(DST)
+                .agg(F.min(SRC).alias("nbr_min"))
+                .select(
+                    F.col(DST).alias("vertex"),
+                    F.least(F.col(DST), F.col("nbr_min")).alias("labels"),
+                    F.col(DST).alias("old"),
+                )
+                .transform(truncate_plan)
             )
-            .transform(truncate_plan)
-        )
+        else:
+            # hash-min over neighbors
+            sside = vertex_join_side(state, V)
+            mins = (
+                edges.join(sside, edges[SRC] == sside["vertex"])
+                .groupBy(DST)
+                .agg(F.min("labels").alias("nbr_min"))
+            )
+            # carry the old label through so the changed-count needs no
+            # extra join; checkpoint `lowered` so the pointer-jump
+            # self-join reads one materialized RDD instead of
+            # recomputing the mins join twice
+            lowered = (
+                state.join(
+                    mins.hint("shuffle_hash"), state["vertex"] == mins[DST], "left"
+                )
+                .select(
+                    state["vertex"],
+                    F.least(
+                        state["labels"], F.coalesce("nbr_min", state["labels"])
+                    ).alias("labels"),
+                    state["labels"].alias("old"),
+                )
+                .transform(truncate_plan)
+            )
         # pointer jump: labels ← labels(labels) — contraction-level analog
         lab = lowered.select(
             F.col("vertex").alias("lv"), F.col("labels").alias("ll")
@@ -204,6 +240,11 @@ def weakly_connected_components(
             break
 
     edges.unpersist()
+    if state is None:  # max_iter == 0: the identity labeling
+        state = G.vertices().select(
+            F.col("vertex").cast(id_t).alias("vertex"),
+            F.col("vertex").cast(id_t).alias("labels"),
+        )
     return state.select(
         F.col("vertex").cast("long").alias("vertex"),
         F.col("labels").cast("long").alias("labels"),
