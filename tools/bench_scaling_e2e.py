@@ -39,8 +39,25 @@ from cugraph_spark.graph import Graph, symmetrize
 from cugraph_spark.operators.wcc import weakly_connected_components
 from cugraph_spark.operators.triangle_count import triangle_count
 
-spark = get_spark(app_name="bench_scaling_e2e")
+# Shuffle files live until the driver's ContextCleaner sees their
+# ShuffleDependency garbage-collected, and the cleaner's own periodic
+# System.gc() defaults to 30 MINUTES — far longer than this whole run.
+# At RMAT-22 one worker accumulates ~95 GiB of dead superstep shuffles
+# in the tmpfs scratch WITHIN a rep sequence and the host OOM-kills the
+# JVM (observed twice 2026-08-20, pids 21821/24476: ~30 GiB JVM rss +
+# ~95 GiB shm on a 125 GiB box). A 45 s periodic GC keeps deleting the
+# dead shuffle/broadcast/localCheckpoint blocks continuously, bounding
+# scratch to the live working set.
+spark = get_spark(app_name="bench_scaling_e2e",
+                  extra_conf={{"spark.cleaner.periodicGC.interval": "45s"}})
 out = {{}}
+
+def _release_shuffles():
+    # belt-and-braces between reps: force a full GC so the next rep
+    # starts from a near-empty scratch even if the periodic tick is
+    # mid-interval
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(2.0)
 
 # --- WCC: symmetrized undirected graph, full convergence ---
 # All input prep happens BEFORE the clock: on a real cluster the edges
@@ -66,6 +83,7 @@ for _ in range({reps}):
     weakly_connected_components(Gw, check_every=2, superstep_seconds=ss).count()
     walls.append(time.perf_counter() - t0)
     steps.append([round(s, 2) for s in ss])
+    _release_shuffles()
 out["wcc"] = {{"n_edges": n_wcc, "walls": walls, "min_wall": min(walls),
                "superstep_walls": steps}}
 se.unpersist()
@@ -82,6 +100,7 @@ for _ in range({reps}):
     t0 = time.perf_counter()
     triangle_count(Gt).count()
     walls.append(time.perf_counter() - t0)
+    _release_shuffles()
 out["tc"] = {{"n_edges": n_tc, "walls": walls, "min_wall": min(walls)}}
 
 print("BENCHJSON " + json.dumps(out))
