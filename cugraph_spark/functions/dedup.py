@@ -76,11 +76,19 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 64,
     hash_fn: str = "xxhash64",
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """[id, sig: array<long>] — minhash over word n-gram shingles;
     hash family = hash64(shingle, seed=i) (see ``_hash64``). Documents
-    with no shingles are dropped (nothing to compare)."""
-    sh = shingles(df.select(id_col, text_col), text_col, n=n)
+    with no shingles are dropped (nothing to compare).
+
+    ``shingles_df``: precomputed ``[id_col, shingles]`` frame (e.g. a
+    persisted one shared with the verify step) — skips re-shingling."""
+    sh = (
+        shingles_df
+        if shingles_df is not None
+        else shingles(df.select(id_col, text_col), text_col, n=n)
+    )
     exploded = sh.select(id_col, F.explode("shingles").alias("g"))
     aggs = [
         F.min(_hash64(F.col("g"), i, hash_fn)).alias(f"h{i}")
@@ -134,6 +142,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.0,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs (or all
     pairs sharing ≥ 1 shingle when ``pairs`` is None — the inverted-
@@ -144,10 +153,31 @@ def ngram_jaccard_pairs(
     ``size(array_intersect)`` per pair — O(|pairs|) rows, zero
     inverted-index fan-out, so one hot shingle shared by millions of
     docs can never re-create the all-pairs blowup the LSH banding
-    exists to avoid (the round-1 verify path did exactly that)."""
-    sh = shingles(df.select(id_col, text_col), text_col, n=n).select(
-        F.col(id_col).alias("id"), F.col("shingles")
+    exists to avoid (the round-1 verify path did exactly that).
+
+    ``shingles_df``: precomputed ``[id_col, shingles]`` frame (e.g. a
+    persisted one shared with the signature step) — skips re-shingling."""
+    from ..plans.lineage import truncate_plan
+
+    # The all-pairs paths scan the shingle frame 3+ times (inverted
+    # index + both verify legs; the prefix-filter path adds the
+    # document-frequency ordering). Unless the caller supplied an
+    # already-shared frame, persist it for the duration of this call and
+    # materialize the result eagerly while the cache is live (the
+    # triangle_count live-cache pattern).
+    own_cache = shingles_df is None
+    base = (
+        shingles(df.select(id_col, text_col), text_col, n=n).persist()
+        if own_cache
+        else shingles_df
     )
+    sh = base.select(F.col(id_col).alias("id"), F.col("shingles"))
+
+    def _finish(out: DataFrame) -> DataFrame:
+        if own_cache:
+            out = truncate_plan(out, eager=True)
+            base.unpersist()
+        return out
 
     def _verify(want: DataFrame) -> DataFrame:
         # candidate-scoped exact verify: per-pair array_intersect on the
@@ -170,12 +200,12 @@ def ngram_jaccard_pairs(
         return out.filter(F.col("jaccard") >= threshold)
 
     if pairs is not None:
-        return _verify(
+        return _finish(_verify(
             pairs.select(
                 F.least(pairs.columns[0], pairs.columns[1]).alias("a"),
                 F.greatest(pairs.columns[0], pairs.columns[1]).alias("b"),
             ).distinct()
-        )
+        ))
 
     ex = sh.select("id", F.explode("shingles").alias("g"))
     if threshold > 0.0:
@@ -211,7 +241,7 @@ def ngram_jaccard_pairs(
             .select("a", "b")
             .distinct()
         )
-        return _verify(cand)
+        return _finish(_verify(cand))
 
     # threshold == 0: every co-shingled pair is in the answer, so the
     # full inverted-index join IS the output size — no filter to exploit
@@ -231,7 +261,7 @@ def ngram_jaccard_pairs(
             (F.col("isect") / (F.col("sz_a") + F.col("sz_b") - F.col("isect"))).alias("jaccard"),
         )
     )
-    return out.filter(F.col("jaccard") >= threshold)
+    return _finish(out.filter(F.col("jaccard") >= threshold))
 
 
 def minhash_dedup_pairs(
@@ -245,10 +275,27 @@ def minhash_dedup_pairs(
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → band candidates
-    → exact-Jaccard verify ≥ threshold. Returns [a, b, jaccard]."""
-    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes, hash_fn)
+    → exact-Jaccard verify ≥ threshold. Returns [a, b, jaccard].
+
+    The shingle frame is computed ONCE, persisted, and shared by the
+    signature aggregation and both verify join legs — without this the
+    narrow shingling map (regex split + n-gram transform over every
+    document) re-runs three times, once per downstream scan. The result
+    materializes eagerly while the cache is live (same live-cache
+    pattern as ``triangle_count``), then the shingles unpersist."""
+    from ..plans.lineage import truncate_plan
+
+    sh = shingles(df.select(id_col, text_col), text_col, n=n).persist()
+    sigs = minhash_signatures(
+        df, text_col, id_col, n, num_hashes, hash_fn, shingles_df=sh
+    )
     cands = minhash_lsh_candidates(sigs, id_col, bands, num_hashes // bands, hash_fn)
-    return ngram_jaccard_pairs(df, cands, text_col, id_col, n, threshold)
+    out = ngram_jaccard_pairs(
+        df, cands, text_col, id_col, n, threshold, shingles_df=sh
+    )
+    out = truncate_plan(out, eager=True)
+    sh.unpersist()
+    return out
 
 
 def simhash(

@@ -34,7 +34,11 @@ from pyspark.sql import functions as F
 
 from ..graph import DST, SRC, WGT, Graph
 from ..plans.checkpoint import CheckpointManager
-from ..plans.strategy import vertex_join_side
+from ..plans.strategy import (
+    BROADCAST_VERTEX_LIMIT,
+    DST_PARTITION_MIN_V,
+    vertex_join_side,
+)
 
 
 def label_propagation(
@@ -45,6 +49,7 @@ def label_propagation(
     checkpoint_every: int = 5,
     resume: bool = False,
     check_every: int = 1,
+    broadcast_limit: int | None = None,
 ) -> DataFrame:
     """Returns DataFrame ``[vertex, labels]``. Requires an undirected
     (symmetrized) graph — incident weight means both directions.
@@ -68,9 +73,23 @@ def label_propagation(
 
     P = resolve_partitions(num_partitions, G.edges)
 
+    V = G.number_of_vertices()
+    blimit = BROADCAST_VERTEX_LIMIT if broadcast_limit is None else broadcast_limit
+    bcast = V <= blimit
+
+    # Edge layout per join mode — same analysis as WCC's (operators/
+    # wcc.py): shuffle-hash mode co-locates the per-superstep join on
+    # SRC; broadcast mode with large V partitions by DST instead so
+    # BOTH superstep aggregations (groupBy(dst,cand) and the argmax
+    # groupBy(dst) — hashpartitioning(dst) satisfies either's clustered
+    # distribution) and the state⋈best join run exchange-free; small V
+    # scans the cache in place.
     e = G.edges.select(SRC, DST, WGT)
-    if not G.pre_partitioned:  # select preserves a bucketed layout
-        e = e.repartition(P, SRC)
+    if not bcast:
+        if not G.pre_partitioned:  # select preserves a bucketed layout
+            e = e.repartition(P, SRC)
+    elif V >= DST_PARTITION_MIN_V:
+        e = e.repartition(P, DST)
     edges = e.persist(StorageLevel.MEMORY_AND_DISK)
 
     start_iter = 0
@@ -81,7 +100,6 @@ def label_propagation(
         state = saved.repartition(P, "vertex").transform(truncate_plan)
         start_iter = meta["iteration"] + 1
 
-    V = G.number_of_vertices()
     for it in range(start_iter, max_iter):
         checking = (it + 1) % check_every == 0 or it == max_iter - 1
         # (dst, label(src), w) → Σw per (dst,label) → argmax by (w, -label)
@@ -97,7 +115,7 @@ def label_propagation(
                 F.col(DST), F.col(SRC).alias("cand")
             ).agg(F.sum(WGT).alias("w"))
         else:
-            sside = vertex_join_side(state, V)
+            sside = vertex_join_side(state, V, limit=blimit)
             scores = (
                 edges.join(sside, edges[SRC] == sside["vertex"])
                 .groupBy(F.col(DST), F.col("labels").alias("cand"))

@@ -34,6 +34,7 @@ from ..plans.lineage import truncate_plan
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType
 
 from ..graph import DST, SRC, Graph
 
@@ -127,19 +128,58 @@ def _oriented_edges(G: Graph, prune_rounds: int = 0) -> DataFrame:
 # philosophy as plans/strategy.BROADCAST_VERTEX_LIMIT
 _BROADCAST_EDGE_LIMIT = 4_000_000
 
+# Second tier: broadcast ONLY the (u,w) closing leg. The wedge stream
+# (the e1⋈e2 output, O(Σd_out²) rows — ~1e9 rows / ~30 GB measured per
+# call at RMAT-20 ef16) is the single biggest data movement in the
+# whole engine when the closing join plans sort-merge, because BOTH
+# sort-merge inputs shuffle and the wedge side dwarfs everything else.
+# A broadcast e3 probes the wedges map-side as they are produced, so
+# the wedge set is never exchanged OR materialized. The hash relation
+# for 32M (int,int) rows is ~1.5-2 GB — per executor, same budget class
+# as an AQE broadcast — while the shuffle it removes is ~15x larger.
+_BROADCAST_CLOSING_LEG_LIMIT = 32_000_000
+
 
 def _tri_join(o: DataFrame, n_o: int) -> DataFrame:
     """The oriented 3-way self-join. When the oriented list is small,
     broadcast the probe legs: the checkpointed/persisted leaf carries
     no usable size estimate, so Catalyst would plan sort-merge joins
     and shuffle the O(Σd²) intermediate — broadcast legs keep it
-    pipelined map-side (measured ~2x on the sf0.1 K1000 graph)."""
+    pipelined map-side (measured ~2x on the sf0.1 K1000 graph). At
+    mid sizes, broadcast at least the closing (u,w) leg so the wedge
+    stream never shuffles (see _BROADCAST_CLOSING_LEG_LIMIT); the
+    closing key is PACKED into one long — a single-long join key gets
+    Spark's LongHashedRelation (dense long-keyed map) instead of the
+    generic row-keyed BytesToBytesMap, which matters twice here: the
+    hash relation build is the job's serial Amdahl term, and the probe
+    runs once per wedge (1.23e9 at RMAT-20)."""
     e1 = o.select(F.col(SRC).alias("u"), F.col(DST).alias("v"))
     e2 = o.select(F.col(SRC).alias("v"), F.col(DST).alias("w"))
-    e3 = o.select(F.col(SRC).alias("u"), F.col(DST).alias("w"))
     if n_o <= _BROADCAST_EDGE_LIMIT:
-        e2, e3 = F.broadcast(e2), F.broadcast(e3)
-    return e1.join(e2, "v").join(e3, ["u", "w"])  # each triangle once
+        e3 = o.select(F.col(SRC).alias("u"), F.col(DST).alias("w"))
+        return e1.join(F.broadcast(e2), "v").join(
+            F.broadcast(e3), ["u", "w"]
+        )  # each triangle once
+
+    def _pack(a: str, b: str):
+        # (a << 32) | (b & 0xFFFFFFFF): bijective for any two int32s
+        return F.shiftleft(F.col(a).cast("long"), 32).bitwiseOR(
+            F.col(b).cast("long").bitwiseAND(F.lit(0xFFFFFFFF))
+        )
+
+    if not isinstance(o.schema[SRC].dataType, IntegerType):
+        # ids did not compact to int32 — packing would collide; keep
+        # the two-column closing join
+        e3 = o.select(F.col(SRC).alias("u"), F.col(DST).alias("w"))
+        if n_o <= _BROADCAST_CLOSING_LEG_LIMIT:
+            e3 = F.broadcast(e3)
+        return e1.join(e2, "v").join(e3, ["u", "w"])
+
+    e3p = o.select(_pack(SRC, DST).alias("uw3"))
+    if n_o <= _BROADCAST_CLOSING_LEG_LIMIT:
+        e3p = F.broadcast(e3p)
+    wedges = e1.join(e2, "v").withColumn("uw", _pack("u", "w"))
+    return wedges.join(e3p, F.col("uw") == F.col("uw3")).select("u", "v", "w")
 
 
 def triangle_count(
@@ -164,10 +204,15 @@ def triangle_count(
     o = _oriented_edges(G, prune_rounds).persist(StorageLevel.MEMORY_AND_DISK)
     tri = _tri_join(o, o.count())  # count doubles as cache materialization
 
-    corners = (
-        tri.select(F.col("u").alias("vertex"))
-        .unionByName(tri.select(F.col("v").alias("vertex")))
-        .unionByName(tri.select(F.col("w").alias("vertex")))
+    # ONE pass over the closing join: explode each triangle into its 3
+    # corners. The union-of-projections alternative re-executes the
+    # whole wedge pipeline per branch — under sort-merge that held 3
+    # copies of the ~30 GB wedge shuffle live at once (measured; OOMed
+    # a 125 GiB box at RMAT-20), and persisting the triangle set
+    # instead costs an O(t) cache write that measured slower than the
+    # explode (round-3 A/B matrix in BENCH/BASELINE.md).
+    corners = tri.select(
+        F.explode(F.array("u", "v", "w")).alias("vertex")
     )
     counts = (
         corners.groupBy("vertex")
@@ -196,9 +241,11 @@ def edge_triangle_count(G: Graph) -> DataFrame:
     Returns ``[src, dst, counts]`` with src < dst."""
     if G.directed:
         raise ValueError("edge_triangle_count requires an undirected graph")
-    # persist live + eager terminal job, same reason as triangle_count
+    # persist live + eager terminal job, same reasons as triangle_count
+    # (including the cached triangle set: one closing-join execution)
     o = _oriented_edges(G).persist(StorageLevel.MEMORY_AND_DISK)
-    tri = _tri_join(o, o.count())
+    tri = _tri_join(o, o.count()).persist(StorageLevel.MEMORY_AND_DISK)
+    # union of projections, not explode — see triangle_count's corners
     sides = (
         tri.select(F.col("u").alias("a"), F.col("v").alias("b"))
         .unionByName(tri.select(F.col("v").alias("a"), F.col("w").alias("b")))
@@ -217,5 +264,6 @@ def edge_triangle_count(G: Graph) -> DataFrame:
         SRC, DST, F.coalesce("counts", F.lit(0)).cast("long").alias("counts")
     )
     out = truncate_plan(out, eager=True)
+    tri.unpersist()
     o.unpersist()
     return out

@@ -48,6 +48,20 @@ from ..graph import DST, SRC, Graph
 from ..plans.checkpoint import CheckpointManager
 from ..plans.strategy import vertex_join_side
 
+# WCC's broadcast-state cutover, above the generic 4M
+# (plans/strategy.BROADCAST_VERTEX_LIMIT): the WCC state is ONE narrow
+# label column — 8 bytes/vertex int32-compacted, half of PageRank's
+# (id, rank) — and crossing into broadcast mode here also unlocks the
+# dst-partitioned zero-exchange superstep (see the layout comment in
+# weakly_connected_components), so the cutover that was A/B-measured
+# for PageRank's wider state undershoots for WCC. 8M ≈ 64 MB broadcast.
+# A/B at RMAT-22 (V=4.19M, just above the generic cutover):
+# BENCH/BASELINE.md round-3 section.
+WCC_BROADCAST_VERTEX_LIMIT = 8_000_000
+
+# re-exported for the tests; rationale lives on the strategy constant
+from ..plans.strategy import DST_PARTITION_MIN_V as _DST_PARTITION_MIN_V  # noqa: E402
+
 
 def weakly_connected_components(
     G: Graph,
@@ -59,6 +73,7 @@ def weakly_connected_components(
     check_every: int = 1,
     superstep_seconds: list | None = None,
     min_iter: int = 0,
+    broadcast_limit: int | None = None,
 ) -> DataFrame:
     """Returns DataFrame ``[vertex, labels]`` (reference column name,
     connectivity.py:102-200); ``labels`` = min vertex id in the
@@ -77,7 +92,15 @@ def weakly_connected_components(
     the extra supersteps run the identical O(E) plan and return
     identical labels). Used by the scaling bench to collect
     steady-state per-superstep walls on low-diameter graphs that
-    converge in 2-3 rounds."""
+    converge in 2-3 rounds.
+
+    ``broadcast_limit``: max V for the broadcast-state mode (default
+    ``WCC_BROADCAST_VERTEX_LIMIT``). WCC's label state is 8 bytes/vertex
+    compacted — half of PageRank's (long, double) rank state — so its
+    broadcast stays cheap to twice the generic cutover; and broadcast
+    mode unlocks the dst-partitioned zero-exchange superstep below,
+    which the per-superstep-shuffle P×V analysis (BENCH/BASELINE.md
+    round 3) shows is what restores N→4N scaling at mid-size V."""
     if G.directed:
         raise ValueError(
             "weakly_connected_components requires an undirected (symmetrized) "
@@ -118,16 +141,38 @@ def weakly_connected_components(
             F.col(SRC).cast("int").alias(SRC),
             F.col(DST).cast("int").alias(DST),
         )
-    from ..plans.strategy import BROADCAST_VERTEX_LIMIT
+    blimit = WCC_BROADCAST_VERTEX_LIMIT if broadcast_limit is None else broadcast_limit
+    bcast = V <= blimit
 
-    # Hash-partitioning the edge side by SRC only pays when the
-    # superstep join is shuffle-hash (V above the broadcast cutover):
-    # with a broadcast state the edge cache is scanned in place and the
-    # repartition would be a pure O(E) shuffle for nothing. The
-    # repartition (when needed) and the persist both materialize
-    # lazily inside the first superstep's action — zero standalone jobs.
-    if V > BROADCAST_VERTEX_LIMIT and (not G.pre_partitioned or compact):
+    # Edge-side layout per join mode (the repartition, when any, and the
+    # persist both materialize lazily inside the first superstep's
+    # action — zero standalone jobs):
+    #
+    # - shuffle-hash mode (V above the broadcast cutover): hash-partition
+    #   by SRC so the per-superstep edges⋈state join never re-exchanges
+    #   the O(E) side; only the O(V) state moves. The groupBy(dst)
+    #   message aggregation still exchanges up to min(E, P·V) partially-
+    #   combined rows per superstep — at mid-size V that term is ≈E and
+    #   GROWS with P, which is exactly what capped the measured N→4N
+    #   e2e efficiency at 0.39-0.48 in round 2.
+    # - broadcast mode with large V: hash-partition by DST instead. The
+    #   state side broadcasts (src co-location buys nothing), and a
+    #   dst-partitioned edge cache makes BOTH per-superstep exchanges
+    #   vanish: groupBy(dst) runs partition-local (the cache's
+    #   hashpartitioning(dst) satisfies the agg's distribution), and the
+    #   state⋈mins join is co-partitioned (vertex and dst share the hash
+    #   lineage). Per superstep the only data movement is the O(V) state
+    #   broadcast. Costs one up-front O(E) shuffle — the same bytes ONE
+    #   superstep's aggregation exchange would have moved, so it pays
+    #   for itself by superstep 2.
+    # - broadcast mode with small V (< ~1M): scan the cache in place;
+    #   map-side combine already collapses the aggregation exchange to
+    #   ~P·V rows, which is tiny, and the up-front shuffle would cost
+    #   more than it saves.
+    if not bcast and (not G.pre_partitioned or compact):
         e = e.repartition(P, SRC)
+    elif bcast and V >= _DST_PARTITION_MIN_V:
+        e = e.repartition(P, DST)
     edges = e.persist(StorageLevel.MEMORY_AND_DISK)
     id_t = "int" if compact else "long"
 
@@ -171,7 +216,7 @@ def weakly_connected_components(
             )
         else:
             # hash-min over neighbors
-            sside = vertex_join_side(state, V)
+            sside = vertex_join_side(state, V, limit=blimit)
             mins = (
                 edges.join(sside, edges[SRC] == sside["vertex"])
                 .groupBy(DST)
@@ -198,7 +243,7 @@ def weakly_connected_components(
         lab = lowered.select(
             F.col("vertex").alias("lv"), F.col("labels").alias("ll")
         )
-        labside = vertex_join_side(lab, V)
+        labside = vertex_join_side(lab, V, limit=blimit)
         jumped = (
             lowered.join(labside, lowered["labels"] == labside["lv"], "left")
             .select(

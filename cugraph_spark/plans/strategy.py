@@ -27,6 +27,20 @@ from pyspark.sql import functions as F
 
 BROADCAST_VERTEX_LIMIT = 4_000_000
 
+# In broadcast-state mode the gather-scatter's edge cache should be
+# hash-partitioned by DST once V is large: the per-superstep
+# groupBy(dst) message aggregation then runs partition-local (the
+# cache's hashpartitioning(dst) satisfies the agg's required
+# distribution) and the state⋈mins join is co-partitioned — per
+# superstep the ONLY data movement is the O(V) state broadcast. The
+# aggregation exchange it replaces carries up to min(E, P·V)
+# partially-combined rows, a P-proportional term that is what capped
+# the measured N→4N WCC e2e efficiency at 0.39-0.48 in round 2
+# (BENCH/BASELINE.md). Below ~1M vertices that exchange is already
+# tiny and the one-time O(E) dst-repartition would cost more than
+# every superstep it saves.
+DST_PARTITION_MIN_V = 1_000_000
+
 
 def vertex_join_side(state: DataFrame, n_vertices: int | None,
                      limit: int = BROADCAST_VERTEX_LIMIT) -> DataFrame:

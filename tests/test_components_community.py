@@ -63,6 +63,118 @@ def test_wcc_min_iter_identical(spark):
         assert len(walls) == 6, kind
 
 
+def test_tc_packed_closing_leg_identical(spark, monkeypatch):
+    """Force the mid-size closing-leg paths (packed-long broadcast and
+    packed-long shuffle join) on small graphs; counts must match the
+    default both-legs-broadcast path. Also pin the non-compacted
+    (long-id) fallback, where packing must NOT be used."""
+    import sys
+
+    import cugraph_spark.operators.triangle_count  # noqa: F401
+
+    tc_mod = sys.modules["cugraph_spark.operators.triangle_count"]
+
+    def _counts(G):
+        return {r["vertex"]: r["counts"] for r in triangle_count(G).collect()}
+
+    for kind in ("tiny_social", "hub", "self_loops"):
+        edges = make_edges(kind)
+        G = Graph(edges_df(spark, edges), directed=False)
+        base = _counts(G)
+        monkeypatch.setattr(tc_mod, "_BROADCAST_EDGE_LIMIT", 0)
+        got_bcast = _counts(G)  # packed long key, broadcast closing leg
+        monkeypatch.setattr(tc_mod, "_BROADCAST_CLOSING_LEG_LIMIT", 0)
+        got_shuffle = _counts(G)  # packed long key, shuffled closing join
+        monkeypatch.undo()
+        assert got_bcast == base, kind
+        assert got_shuffle == base, kind
+
+    # long ids beyond int32: packing would collide, so the two-column
+    # closing join must be used — a triangle on huge ids stays exact
+    big = 1 << 33
+    tri_edges = [(big + 1, big + 2), (big + 2, big + 3), (big + 1, big + 3)]
+    df = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in tri_edges], "src long, dst long, weight double"
+    )
+    G = Graph(df, directed=False)
+    base = _counts(G)
+    assert base == {big + 1: 1, big + 2: 1, big + 3: 1}
+    monkeypatch.setattr(tc_mod, "_BROADCAST_EDGE_LIMIT", 0)
+    assert _counts(G) == base
+    monkeypatch.undo()
+
+
+def test_wcc_dst_partitioned_broadcast_mode_identical(spark, monkeypatch):
+    """The broadcast-mode dst-partitioned layout (taken when
+    _DST_PARTITION_MIN_V ≤ V ≤ broadcast_limit) must produce labels
+    identical to the default path — exercised here by dropping the
+    threshold so the sf-test-size graphs take the big-V branch, at two
+    partition counts (partitioning invariance)."""
+    from cugraph_spark.operators import wcc as wcc_mod
+
+    for kind in ("tiny_social", "disjoint", "hub", "self_loops"):
+        edges = make_edges(kind)
+        G = Graph(edges_df(spark, edges), directed=False)
+        base = _as_map(weakly_connected_components(G).collect())
+        monkeypatch.setattr(wcc_mod, "_DST_PARTITION_MIN_V", 1)
+        got8 = _as_map(
+            weakly_connected_components(G, num_partitions=8).collect()
+        )
+        got3 = _as_map(
+            weakly_connected_components(G, num_partitions=3).collect()
+        )
+        monkeypatch.undo()
+        assert got8 == base, kind
+        assert got3 == base, kind
+
+
+def test_wcc_shuffle_mode_forced_identical(spark):
+    """broadcast_limit=0 forces the shuffle-hash path on graphs that
+    would otherwise broadcast; labels must match."""
+    for kind in ("tiny_social", "hub"):
+        edges = make_edges(kind)
+        G = Graph(edges_df(spark, edges), directed=False)
+        base = _as_map(weakly_connected_components(G).collect())
+        forced = _as_map(
+            weakly_connected_components(G, broadcast_limit=0).collect()
+        )
+        assert forced == base, kind
+
+
+def test_lpa_dst_partitioned_broadcast_mode_identical(spark, monkeypatch):
+    """Same layout-invariance contract as WCC's: dropping the dst-
+    partition threshold so small graphs take the big-V broadcast branch
+    must not change labels, at two partition counts; forcing the
+    shuffle path (broadcast_limit=0) must not either."""
+    import sys
+
+    import cugraph_spark.operators.label_propagation  # noqa: F401
+
+    # the operators package re-exports the function under the module's
+    # own name, so attribute-style imports resolve to the function —
+    # grab the real module from sys.modules
+    lpa_mod = sys.modules["cugraph_spark.operators.label_propagation"]
+
+    for kind in ("tiny_social", "weighted", "hub"):
+        edges = make_edges(kind)
+        G = Graph(edges_df(spark, edges), directed=False)
+        base = _as_map(label_propagation(G, max_iter=20).collect())
+        monkeypatch.setattr(lpa_mod, "DST_PARTITION_MIN_V", 1)
+        got8 = _as_map(
+            label_propagation(G, max_iter=20, num_partitions=8).collect()
+        )
+        got3 = _as_map(
+            label_propagation(G, max_iter=20, num_partitions=3).collect()
+        )
+        monkeypatch.undo()
+        forced = _as_map(
+            label_propagation(G, max_iter=20, broadcast_limit=0).collect()
+        )
+        assert got8 == base, kind
+        assert got3 == base, kind
+        assert forced == base, kind
+
+
 @pytest.mark.parametrize("kind", ["tiny_social", "weighted", "disjoint"])
 def test_lpa_matches_oracle(spark, kind):
     edges = make_edges(kind)
