@@ -86,6 +86,61 @@ def test_whole_stage_codegen_covers_text_scoring(spark):
     assert "*(1)" in plan  # the whole-stage-codegen stage marker
 
 
+def test_dst_partitioned_superstep_agg_needs_no_exchange(spark):
+    """The zero-exchange superstep layout (docs/PLANS.md round 3): with
+    the edge cache hash-partitioned by dst and the state broadcast, the
+    groupBy(dst) message aggregation's clustered distribution is
+    satisfied by the cache's hashpartitioning(dst) — EnsureRequirements
+    must NOT insert an Exchange. This is the property that removed the
+    P-proportional min(E, P·V) partial-combine shuffle from WCC/LPA
+    supersteps; if it regresses, every superstep re-exchanges O(E)."""
+    e = edges_df(spark, make_edges("tiny_social"))
+    edges = e.repartition(8, "dst").persist()
+    edges.count()
+    try:
+        state = spark.createDataFrame(
+            [(i, i) for i in range(10)], ["vertex", "labels"]
+        )
+        mins = (
+            edges.join(F.broadcast(state), edges.src == state.vertex)
+            .groupBy("dst")
+            .agg(F.min("labels").alias("m"))
+        )
+        plan = _plan(mins)
+        # the hot path — everything above the cached scan (the
+        # InMemoryRelation body renders the one-time cache-fill
+        # exchange, which already ran) — must contain no shuffle: the
+        # agg's clustered distribution is satisfied by the cache's
+        # hashpartitioning(dst), and the state side only broadcasts
+        hot = plan.split("InMemoryRelation", 1)[0]
+        assert "InMemoryTableScan" in hot
+        assert "Exchange hashpartitioning" not in hot
+        assert "BroadcastHashJoin" in hot
+    finally:
+        edges.unpersist()
+
+
+def test_triangle_closing_leg_packed_broadcast_midsize(spark):
+    """Between the 4M both-legs and 32M closing-leg cutovers the wedge
+    stream must never shuffle: exactly one BroadcastHashJoin (the
+    closing leg) on a single packed-long key (shiftleft in the plan →
+    LongHashedRelation, not the row-keyed map)."""
+    from cugraph_spark.operators.triangle_count import _tri_join
+
+    e = edges_df(spark, make_edges("triangle_mesh"))
+    o = e.select(F.col("src").cast("int").alias("src"),
+                 F.col("dst").cast("int").alias("dst"))
+    mid = _plan(_tri_join(o, 10_000_000))
+    # exactly one broadcast join — the closing leg (the wedge e1⋈e2
+    # join may legitimately shuffle at this size); its key is the
+    # shiftleft-packed long on BOTH sides, so the wedge output feeds
+    # the broadcast probe directly and is never exchanged
+    assert mid.count("BroadcastHashJoin") == 1
+    assert mid.count("shiftleft") >= 2
+    closing = mid.split("BroadcastHashJoin", 1)[0]
+    assert "Exchange hashpartitioning(uw" not in closing
+
+
 def test_triangle_legs_broadcast_when_small(spark):
     """The 3-way triangle self-join must broadcast its probe legs for a
     small oriented list — the persisted leaf carries no usable size

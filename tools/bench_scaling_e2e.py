@@ -1,7 +1,10 @@
 """Two-parallelism scaling harness for the END-TO-END metrics of the
 north rule: WCC and triangle-count wall-time (BASELINE.json names
 "end-to-end WCC/triangle-count wall-time" alongside the per-superstep
-PageRank throughput that tools/bench_scaling.py measures).
+PageRank throughput that tools/bench_scaling.py measures), plus an
+optional label-propagation leg (the fourth north-rule algorithm;
+fixed-superstep budget, zero intermediate actions) so every named
+algorithm has a measured N→4N pair.
 
 Identical job + identical seeded RMAT input at local[N] and local[4N];
 the timed section is the algorithm only — edge generation, symmetrize
@@ -66,48 +69,73 @@ def _release_shuffles():
 # the stored physical layout. multi_edge/assume_symmetric tell the
 # constructor the input is already canonical so no lazy re-transform
 # leaks into the timed supersteps.
-e = rmat_edges(spark, scale={wcc_scale}, edgefactor=16, seed=42)
-se = (
-    symmetrize(e)
-    .repartition(spark.sparkContext.defaultParallelism, "src")
-    .persist()
-)
-n_wcc = se.count()  # fills the cache before the clock starts
-Gw = Graph(se, directed=False, weighted=True, multi_edge=True,
-           assume_symmetric=True, pre_partitioned=True)
-Gw.number_of_vertices()  # warm the memoized V (metadata on a real table)
-walls, steps = [], []
-for _ in range({reps}):
-    ss = []
-    t0 = time.perf_counter()
-    weakly_connected_components(Gw, check_every=2, superstep_seconds=ss).count()
-    walls.append(time.perf_counter() - t0)
-    steps.append([round(s, 2) for s in ss])
-    _release_shuffles()
-out["wcc"] = {{"n_edges": n_wcc, "walls": walls, "min_wall": min(walls),
-               "superstep_walls": steps}}
-se.unpersist()
+if {wcc_scale}:
+    e = rmat_edges(spark, scale={wcc_scale}, edgefactor=16, seed=42)
+    se = (
+        symmetrize(e)
+        .repartition(spark.sparkContext.defaultParallelism, "src")
+        .persist()
+    )
+    n_wcc = se.count()  # fills the cache before the clock starts
+    Gw = Graph(se, directed=False, weighted=True, multi_edge=True,
+               assume_symmetric=True, pre_partitioned=True)
+    Gw.number_of_vertices()  # warm the memoized V (metadata on a real table)
+    walls, steps = [], []
+    for _ in range({reps}):
+        ss = []
+        t0 = time.perf_counter()
+        weakly_connected_components(Gw, check_every=2, superstep_seconds=ss).count()
+        walls.append(time.perf_counter() - t0)
+        steps.append([round(s, 2) for s in ss])
+        _release_shuffles()
+    out["wcc"] = {{"n_edges": n_wcc, "walls": walls, "min_wall": min(walls),
+                   "superstep_walls": steps}}
+    se.unpersist()
 
 # --- Triangle count: per-vertex counts, full graph ---
-e2 = rmat_edges(spark, scale={tc_scale}, edgefactor=16, seed=42)
-can = symmetrize(e2).persist()  # canonical simple symmetric form, pre-clock
-n_tc = can.count()
-Gt = Graph(can, directed=False, weighted=True, multi_edge=True,
-           assume_symmetric=True)
-Gt.number_of_vertices()
-walls = []
-for _ in range({reps}):
-    t0 = time.perf_counter()
-    triangle_count(Gt).count()
-    walls.append(time.perf_counter() - t0)
-    _release_shuffles()
-out["tc"] = {{"n_edges": n_tc, "walls": walls, "min_wall": min(walls)}}
+if {tc_scale}:
+    e2 = rmat_edges(spark, scale={tc_scale}, edgefactor=16, seed=42)
+    can = symmetrize(e2).persist()  # canonical simple symmetric form, pre-clock
+    n_tc = can.count()
+    Gt = Graph(can, directed=False, weighted=True, multi_edge=True,
+               assume_symmetric=True)
+    Gt.number_of_vertices()
+    walls = []
+    for _ in range({reps}):
+        t0 = time.perf_counter()
+        triangle_count(Gt).count()
+        walls.append(time.perf_counter() - t0)
+        _release_shuffles()
+    out["tc"] = {{"n_edges": n_tc, "walls": walls, "min_wall": min(walls)}}
+    can.unpersist()
+
+# --- Label propagation: fixed 4-superstep budget, one terminal action ---
+# check_every = max_iter pins the zero-intermediate-action chain (any
+# check_every returns identical labels — a stable labeling is a
+# fixpoint); a fixed budget makes the measured work identical on both
+# sides regardless of when the labeling would converge.
+if {lpa_scale}:
+    from cugraph_spark.operators.label_propagation import label_propagation
+    e3 = rmat_edges(spark, scale={lpa_scale}, edgefactor=16, seed=42)
+    sl = symmetrize(e3).persist()
+    n_lpa = sl.count()
+    Gl = Graph(sl, directed=False, weighted=True, multi_edge=True,
+               assume_symmetric=True)
+    Gl.number_of_vertices()
+    walls = []
+    for _ in range({reps}):
+        t0 = time.perf_counter()
+        label_propagation(Gl, max_iter=4, check_every=4).count()
+        walls.append(time.perf_counter() - t0)
+        _release_shuffles()
+    out["lpa"] = {{"n_edges": n_lpa, "walls": walls, "min_wall": min(walls)}}
 
 print("BENCHJSON " + json.dumps(out))
 """
 
 
-def run_worker(cpus: int, wcc_scale: int, tc_scale: int, reps: int) -> dict:
+def run_worker(cpus: int, wcc_scale: int, tc_scale: int, reps: int,
+               lpa_scale: int = 0) -> dict:
     # a killed prior run strands GiBs of blockmgr dirs in the tmpfs
     # scratch below — sweep them like bench_scaling.py does
     sys.path.insert(0, str(Path(__file__).resolve().parent))
@@ -125,7 +153,8 @@ def run_worker(cpus: int, wcc_scale: int, tc_scale: int, reps: int) -> dict:
     shm = "/dev/shm/spark-graft-local"
     os.makedirs(shm, exist_ok=True)
     env.setdefault("SPARK_LOCAL_DIRS", shm)
-    code = WORKER.format(root=str(ROOT), wcc_scale=wcc_scale, tc_scale=tc_scale, reps=reps)
+    code = WORKER.format(root=str(ROOT), wcc_scale=wcc_scale,
+                         tc_scale=tc_scale, reps=reps, lpa_scale=lpa_scale)
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True,
         env=env, timeout=5400,
@@ -141,16 +170,18 @@ def main():
     wcc_scale = int(sys.argv[2]) if len(sys.argv) > 2 else 20
     tc_scale = int(sys.argv[3]) if len(sys.argv) > 3 else 18
     reps = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+    lpa_scale = int(sys.argv[5]) if len(sys.argv) > 5 else 0
 
-    a = run_worker(n, wcc_scale, tc_scale, reps)
-    b = run_worker(4 * n, wcc_scale, tc_scale, reps)
+    a = run_worker(n, wcc_scale, tc_scale, reps, lpa_scale)
+    b = run_worker(4 * n, wcc_scale, tc_scale, reps, lpa_scale)
 
     report = {"cores_A": n, "cores_B": 4 * n}
-    for algo, scale in (("wcc", wcc_scale), ("tc", tc_scale)):
+    legs = [("wcc", wcc_scale), ("tc", tc_scale), ("lpa", lpa_scale)]
+    for algo, scale in [(k, s) for k, s in legs if s]:
         eff = (a[algo]["min_wall"] / b[algo]["min_wall"]) / 4.0
         report[algo] = {
             "input": f"rmat scale={scale} edgefactor=16 ({a[algo]['n_edges']} edges"
-                     + (", symmetrized" if algo == "wcc" else "") + ")",
+                     + (", symmetrized" if algo in ("wcc", "lpa") else "") + ")",
             "wall_A_min": round(a[algo]["min_wall"], 2),
             "wall_B_min": round(b[algo]["min_wall"], 2),
             "walls_A": [round(t, 2) for t in a[algo]["walls"]],
