@@ -35,8 +35,8 @@ from pyspark.sql import functions as F
 from ..graph import DST, SRC, WGT, Graph
 from ..plans.checkpoint import CheckpointManager
 from ..plans.strategy import (
-    BROADCAST_VERTEX_LIMIT,
     DST_PARTITION_MIN_V,
+    NARROW_STATE_BROADCAST_LIMIT,
     vertex_join_side,
 )
 
@@ -73,8 +73,14 @@ def label_propagation(
 
     P = resolve_partitions(num_partitions, G.edges)
 
+    # LPA's state is one narrow label column (8 bytes/vertex), and the
+    # zero-exchange dst layout removes BOTH per-superstep aggregation
+    # exchanges, so it shares the measured narrow-state cutover (RMAT-23
+    # A/B on the strategy constant: 91.1s shuffle-hash vs 62.4s here).
     V = G.number_of_vertices()
-    blimit = BROADCAST_VERTEX_LIMIT if broadcast_limit is None else broadcast_limit
+    blimit = (
+        NARROW_STATE_BROADCAST_LIMIT if broadcast_limit is None else broadcast_limit
+    )
     bcast = V <= blimit
 
     # Edge layout per join mode — same analysis as WCC's (operators/

@@ -48,16 +48,11 @@ from ..graph import DST, SRC, Graph
 from ..plans.checkpoint import CheckpointManager
 from ..plans.strategy import vertex_join_side
 
-# WCC's broadcast-state cutover, above the generic 4M
-# (plans/strategy.BROADCAST_VERTEX_LIMIT): the WCC state is ONE narrow
-# label column — 8 bytes/vertex int32-compacted, half of PageRank's
-# (id, rank) — and crossing into broadcast mode here also unlocks the
-# dst-partitioned zero-exchange superstep (see the layout comment in
-# weakly_connected_components), so the cutover that was A/B-measured
-# for PageRank's wider state undershoots for WCC. 8M ≈ 64 MB broadcast.
-# A/B at RMAT-22 (V=4.19M, just above the generic cutover):
-# BENCH/BASELINE.md round-3 section.
-WCC_BROADCAST_VERTEX_LIMIT = 8_000_000
+# WCC's broadcast-state cutover: its state is one narrow label column,
+# so it shares the measured NARROW_STATE_BROADCAST_LIMIT (rationale and
+# RMAT-23 A/B on the strategy constant). Kept under the WCC-specific
+# name for the tests/back-compat.
+from ..plans.strategy import NARROW_STATE_BROADCAST_LIMIT as WCC_BROADCAST_VERTEX_LIMIT
 
 # re-exported for the tests; rationale lives on the strategy constant
 from ..plans.strategy import DST_PARTITION_MIN_V as _DST_PARTITION_MIN_V  # noqa: E402

@@ -27,6 +27,19 @@ from pyspark.sql import functions as F
 
 BROADCAST_VERTEX_LIMIT = 4_000_000
 
+# Cutover for operators whose per-vertex state is ONE narrow label
+# (WCC, LPA: 8 bytes/vertex int32-compacted — half of PageRank's
+# (id, rank) row, for which the generic 4M constant was A/B-measured).
+# Crossing into broadcast mode also unlocks the dst-partitioned
+# zero-exchange superstep (DST_PARTITION_MIN_V below), so the cutover
+# sits higher. A/B at RMAT-23 ef16 (V=4,611,356 occupied — genuinely
+# between the two constants; RMAT-22's occupied V is 2.40M, not its
+# 4.19M max id), 32 cores, min-of-2: WCC 63.4s shuffle-hash vs 60.3s
+# broadcast+dst; LPA 91.1s vs 62.4s (1.46x — BOTH of its per-superstep
+# dst-keyed aggregations go exchange-free). tools/ab_lpa_cutover.py,
+# BENCH/BASELINE.md round-3 section. 8M ≈ 64 MB broadcast.
+NARROW_STATE_BROADCAST_LIMIT = 8_000_000
+
 # In broadcast-state mode the gather-scatter's edge cache should be
 # hash-partitioned by DST once V is large: the per-superstep
 # groupBy(dst) message aggregation then runs partition-local (the

@@ -1,18 +1,24 @@
-"""One-off A/B: LPA broadcast-state cutover at RMAT-22 (V=4.19M).
+"""One-off A/B: the 8M broadcast-state cutover for WCC and LPA.
 
-WCC moved its cutover to 8M vertices after the round-3 A/B showed
-broadcast + dst-partitioned zero-exchange supersteps beating
-shuffle-hash at V just above the generic 4M constant. LPA's state is
-the same 8 bytes/vertex (vertex int32, labels int32) and its superstep
-has the same shape (edges⋈state join + dst-keyed aggregation), so the
-same cutover should hold — this measures it rather than inferring it.
+The zero-exchange superstep layout (docs/PLANS.md round 3) only
+engages in broadcast-state mode. The generic cutover is 4M vertices
+(plans/strategy.BROADCAST_VERTEX_LIMIT, A/B-measured for PageRank's
+16-byte (id, rank) state); WCC/LPA state is 8 bytes/vertex, so their
+cutover arguably sits higher — but that claim needs its own
+measurement, at a V actually BETWEEN the two constants.
 
-Runs label_propagation(max_iter=4, check_every=4) twice in one JVM on
-the same persisted RMAT-22 symmetrized edges: once with the default
-broadcast_limit (4M → shuffle-hash mode at V=4.19M) and once with
-broadcast_limit=8M (broadcast + dst-partition mode). Reports walls.
+RMAT-23 ef16 symmetrized has V = 4,611,356 occupied vertices (max id
+8,387,850 — note `Graph.vertex_stats()[0]` counts occupied vertices,
+not the id-space width; RMAT-22's V is 2.40M, under the generic
+cutover, which is why an RMAT-22 run cannot A/B this constant).
 
-Usage: python tools/ab_lpa_cutover.py [cpus] [scale] [reps]
+Runs each algorithm twice in one JVM on the same persisted edges:
+broadcast_limit=4_000_000 (V>limit → shuffle-hash + src-partition) vs
+broadcast_limit=8_000_000 (broadcast + dst-partitioned zero-exchange).
+WCC runs to convergence; LPA runs a fixed 4-superstep budget.
+
+Usage: python tools/ab_lpa_cutover.py [cpus] [scale] [reps] [algos]
+       (defaults: 32, 23, 3, "wcc,lpa")
 """
 
 from __future__ import annotations
@@ -32,8 +38,9 @@ from cugraph_spark.session import get_spark
 from cugraph_spark.sources.rmat import rmat_edges
 from cugraph_spark.graph import Graph, symmetrize
 from cugraph_spark.operators.label_propagation import label_propagation
+from cugraph_spark.operators.wcc import weakly_connected_components
 
-spark = get_spark(app_name="ab_lpa_cutover",
+spark = get_spark(app_name="ab_cutover",
                   extra_conf={{"spark.cleaner.periodicGC.interval": "45s"}})
 
 e = rmat_edges(spark, scale={scale}, edgefactor=16, seed=42)
@@ -48,15 +55,24 @@ def _gc():
     time.sleep(2.0)
 
 out = {{"n_edges": n, "V": V}}
-for mode, blimit in (("shuffle_hash", 4_000_000), ("broadcast_dst", 8_000_000)):
-    walls = []
-    for _ in range({reps}):
-        t0 = time.perf_counter()
-        label_propagation(G, max_iter=4, check_every=4,
-                          broadcast_limit=blimit).count()
-        walls.append(round(time.perf_counter() - t0, 2))
-        _gc()
-    out[mode] = {{"walls": walls, "min_wall": min(walls)}}
+algos = {algos!r}.split(",")
+for mode, blimit in (("shuffle_hash_4M", 4_000_000),
+                     ("broadcast_dst_8M", 8_000_000)):
+    res = {{}}
+    for algo in algos:
+        walls = []
+        for _ in range({reps}):
+            t0 = time.perf_counter()
+            if algo == "wcc":
+                weakly_connected_components(
+                    G, check_every=2, broadcast_limit=blimit).count()
+            else:
+                label_propagation(G, max_iter=4, check_every=4,
+                                  broadcast_limit=blimit).count()
+            walls.append(round(time.perf_counter() - t0, 2))
+            _gc()
+        res[algo] = {{"walls": walls, "min_wall": min(walls)}}
+    out[mode] = res
 
 print("BENCHJSON " + json.dumps(out))
 """
@@ -64,8 +80,9 @@ print("BENCHJSON " + json.dumps(out))
 
 def main():
     cpus = int(sys.argv[1]) if len(sys.argv) > 1 else 32
-    scale = int(sys.argv[2]) if len(sys.argv) > 2 else 22
+    scale = int(sys.argv[2]) if len(sys.argv) > 2 else 23
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    algos = sys.argv[4] if len(sys.argv) > 4 else "wcc,lpa"
 
     sys.path.insert(0, str(Path(__file__).resolve().parent))
     from bench_scaling import _sweep_orphan_scratch
@@ -77,7 +94,7 @@ def main():
     shm = "/dev/shm/spark-graft-local"
     os.makedirs(shm, exist_ok=True)
     env.setdefault("SPARK_LOCAL_DIRS", shm)
-    code = WORKER.format(root=str(ROOT), scale=scale, reps=reps)
+    code = WORKER.format(root=str(ROOT), scale=scale, reps=reps, algos=algos)
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True,
         env=env, timeout=5400,
