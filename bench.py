@@ -83,7 +83,12 @@ def main():
             t0 = time.perf_counter()
             fn()
             ts.append(round(time.perf_counter() - t0, 3))
-        med = sorted(ts)[len(ts) // 2]
+        # true median (even counts average the middle two — the upper
+        # order statistic would report the MAX at repeat=2, amplifying
+        # exactly the noise the median exists to damp)
+        import statistics
+
+        med = round(statistics.median(ts), 3)
         timings[name] = med
         query_runs[name] = {"median": med, "min": min(ts), "runs": ts}
 

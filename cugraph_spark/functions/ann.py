@@ -214,8 +214,16 @@ def cosine_topk_lsh(
     bucket holding that many vectors carries ~0 discriminative signal
     and its candidates surface through the other bands. Same output
     schema as brute force; recall < 1 by construction."""
+    from ..plans.lineage import truncate_plan
+
     dim = len(corpus.select(vec_col).first()[0])
-    cb = lsh_band_keys(corpus, id_col, vec_col, n_bands, band_bits, dim, seed)
+    # the corpus key projection (n_bands*band_bits hyperplane dot
+    # products over every corpus vector) feeds BOTH the bucket-size agg
+    # and the candidate join — persist it so the full-corpus scan runs
+    # once, and materialize the (bounded, k-per-query) result eagerly
+    # while the cache is live (the dedup.py shingle-cache pattern)
+    kb = lsh_band_keys(corpus, id_col, vec_col, n_bands, band_bits, dim, seed).persist()
+    cb = kb
     if max_bucket_size is not None:
         sizes = cb.groupBy("bk").agg(F.count("*").alias("n"))
         cb = cb.join(
@@ -251,7 +259,10 @@ def cosine_topk_lsh(
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    out = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    out = truncate_plan(out, eager=True)
+    kb.unpersist()
+    return out
 
 
 def _assign_cells_blas(
@@ -457,10 +468,18 @@ def embedding_near_duplicates(
       so one hot bucket spreads across tasks instead of one;
     - the verify is candidate-scoped: vectors join onto the DISTINCT
       pair list (no vector payload through the bucket join)."""
+    from ..plans.lineage import truncate_plan
     from ..plans.skew import salted_common_neighbor_join
 
     dim = len(df.select(vec_col).first()[0])
-    keys = lsh_band_keys(df, id_col, vec_col, n_bands, band_bits, dim, seed)
+    # the key projection (n_bands*band_bits hyperplane dot products over
+    # every vector) is scanned by the bucket-size agg, both self-join
+    # legs, and the hub detection inside the salted join — persist it so
+    # the full-corpus projection runs once, materialize the (threshold-
+    # bounded) result eagerly while the cache is live, then release
+    # (the dedup.py shingle-cache pattern)
+    kb = lsh_band_keys(df, id_col, vec_col, n_bands, band_bits, dim, seed).persist()
+    keys = kb
     if max_bucket_size is not None:
         sizes = keys.groupBy("bk").agg(F.count("*").alias("n"))
         keys = keys.join(
@@ -476,7 +495,7 @@ def embedding_near_duplicates(
         .distinct()
     )
     v = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
-    return (
+    out = (
         cands.join(v.select(F.col(id_col).alias("a"), F.col("v").alias("va")), "a")
         .join(v.select(F.col(id_col).alias("b"), F.col("v").alias("vb")), "b")
         .select(
@@ -485,3 +504,6 @@ def embedding_near_duplicates(
         )
         .filter(F.col("cosine") >= threshold)
     )
+    out = truncate_plan(out, eager=True)
+    kb.unpersist()
+    return out

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import hashlib
 from collections.abc import Iterator
+from functools import lru_cache
 
 import numpy as np
 import pandas as pd
@@ -73,9 +74,12 @@ def _fake_decode(data: bytes, n_features: int) -> np.ndarray:
     return rng.rand(n_features).astype(np.float32)
 
 
+@lru_cache(maxsize=None)
 def codec_available(kind: str) -> bool:
     """True when the real decode kernel for ``kind`` ('image'/'audio')
-    can run in this environment (Pillow / soundfile importable)."""
+    can run in this environment (Pillow / soundfile importable).
+    Cached: the answer is environment-level, and the per-row dispatch
+    in ``_decode_one`` probes it inside the Arrow batch hot loop."""
     try:
         if kind == "image":
             from PIL import Image  # noqa: F401
@@ -185,12 +189,14 @@ def resize_images(
     decode: str = "fake",
 ) -> DataFrame:
     """Image resize. With Pillow importable and ``decode='auto'`` /
-    ``'strict'`` the payload is REALLY decoded, resized (bilinear) and
-    re-encoded as PNG, with the sha256 restamped over the new bytes
-    (the materialization invariant follows the payload). Otherwise
-    ``'fake'``/fallback passes the payload through unchanged and only
-    the declared dimensions update; ``'strict'`` without Pillow
-    raises."""
+    ``'strict'`` rows whose mime is ``image/*`` are REALLY decoded,
+    resized (bilinear) and re-encoded as PNG, with the sha256 restamped
+    over the new bytes (the materialization invariant follows the
+    payload). Non-image rows always pass through unchanged (dims
+    restamped only). ``'auto'`` additionally passes through rows whose
+    payload fails to decode and whole executors where Pillow does not
+    import; ``'strict'`` raises in both cases. ``'fake'`` (or 'auto'
+    without Pillow anywhere) updates the declared dimensions only."""
     if decode not in ("fake", "strict", "auto"):
         raise ValueError(decode)
     if decode == "strict" and not codec_available("image"):
@@ -207,22 +213,53 @@ def resize_images(
                         F.col(m + ".duration_ms").alias("_dur"))
 
         keep_cols = [c for c, _t in src.dtypes if c not in ("_data", "_mime")]
+        strict = decode == "strict"
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             import io
 
-            from PIL import Image
+            try:
+                from PIL import Image
+            except ImportError:
+                # the driver-side probe saw Pillow but this EXECUTOR
+                # doesn't have it (mixed install) — 'auto' falls back to
+                # payload passthrough; 'strict' keeps its contract
+                if strict:
+                    raise
+                Image = None
 
             for pdf in batches:
-                out_bytes = []
-                for d in pdf["_data"]:
-                    img = Image.open(io.BytesIO(bytes(d)))
-                    buf = io.BytesIO()
-                    img.resize((width, height), Image.BILINEAR).save(buf, "PNG")
-                    out_bytes.append(buf.getvalue())
+                out_bytes, out_mime = [], []
+                for d, mm in zip(pdf["_data"], pdf["_mime"]):
+                    raw = bytes(d)
+                    is_img = bool(mm) and mm.startswith("image/")
+                    if Image is not None and is_img:
+                        try:
+                            img = Image.open(io.BytesIO(raw))
+                            buf = io.BytesIO()
+                            img.resize((width, height), Image.BILINEAR).save(buf, "PNG")
+                            out_bytes.append(buf.getvalue())
+                            out_mime.append("image/png")
+                            continue
+                        except Exception:
+                            # corrupt/truncated payload: 'auto' passes
+                            # the row through untouched, 'strict' fails
+                            # the job rather than silently degrading
+                            if strict:
+                                raise
+                    elif strict and is_img:
+                        raise NotImplementedError(
+                            "decode='strict' resize on an executor "
+                            "without Pillow"
+                        )
+                    # non-image mime, missing codec, or auto-mode decode
+                    # failure: passthrough (sha256 restamp below is a
+                    # no-op over unchanged bytes)
+                    out_bytes.append(raw)
+                    out_mime.append(mm)
                 out = pdf[keep_cols].copy()
                 out["_data"] = out_bytes
-                out["_mime"] = "image/png"
+                out["_mime"] = out_mime
                 yield out
 
         fields = ", ".join(f"{c} {t}" for c, t in src.dtypes if c not in ("_data", "_mime"))

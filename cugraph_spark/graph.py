@@ -239,6 +239,11 @@ class Graph:
             # re-symmetrize keeps the on-disk layout usable. Multigraphs
             # must keep parallel edges: the simple symmetrize's
             # min-weight groupBy would silently collapse them.
+            # CONTRACT: under assume_symmetric=True every vertex must
+            # appear as dst (true of any symmetrized list). WCC/LPA
+            # fuse superstep 0 on that property; an asymmetric list
+            # passed with the flag drops src-only vertices from their
+            # output instead of merely mislabeling them.
             e = symmetrize_multi(e) if multi_edge else symmetrize(e)
             transformed = True
         self.edges = e

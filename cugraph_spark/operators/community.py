@@ -98,6 +98,7 @@ def _move_phase(
     move_mask_seed: int | None = None,
     n_edges: int | None = None,
     local_tail_edges: int | None = None,
+    collected=None,
 ) -> DataFrame:
     """Synchronous best-modularity-gain label moves (the louvain_impl.cuh
     move kernel): per round every vertex adopts the neighbor community
@@ -117,9 +118,15 @@ def _move_phase(
     local-tail threshold the whole move loop runs driver-side in numpy
     with the identical hash stream and expression tree
     (``plans/local_tail.py``) — the single-GPU-handoff analog; the
-    coarsened levels of every Louvain/Leiden run end here."""
+    coarsened levels of every Louvain/Leiden run end here.
+
+    ``collected``: pre-collected ``(src, dst, wgt)`` numpy arrays for
+    the local branch — ECG's ensemble members all move over the SAME
+    edge frame, so the caller collects once instead of 16 times."""
     if n_edges is not None and n_edges <= local_tail.resolve_threshold(local_tail_edges):
-        src, dst, wgt = local_tail.collect_edges(edges)
+        src, dst, wgt = (
+            collected if collected is not None else local_tail.collect_edges(edges)
+        )
         init = None
         if init_labels is not None:
             pdf = init_labels.select("vertex", "labels").toPandas()
@@ -548,6 +555,15 @@ def ecg(
 
     n_edges = edges.count()  # materialize the shared cache before concurrent jobs
 
+    # under the local tail every member's move phase runs driver-side
+    # over the SAME edge frame — collect it once here, not once per
+    # ensemble member (16 concurrent duplicate toPandas otherwise)
+    coll = (
+        local_tail.collect_edges(edges)
+        if n_edges <= local_tail.resolve_threshold(local_tail_edges)
+        else None
+    )
+
     def _member(i: int) -> DataFrame:
         """One ensemble member's co-membership votes. Members are
         independent job chains over the SAME persisted edge frame, so
@@ -559,6 +575,7 @@ def ecg(
             edges, two_m, max_iter=3, resolution=resolution,
             min_gain=1.0e-7, move_mask_seed=seed + i,
             n_edges=n_edges, local_tail_edges=local_tail_edges,
+            collected=coll,
         ).select(F.col("vertex").alias("pv"), F.col("labels").alias("pl"))
         return (
             edges.join(part.withColumnRenamed("pv", SRC)

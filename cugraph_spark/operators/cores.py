@@ -58,7 +58,7 @@ def core_number(
     from ..plans import local_tail
 
     thr = local_tail.resolve_threshold(local_tail_edges)
-    if thr > 0 and G.edges.count() <= thr:
+    if local_tail.fits(G.edges, thr):  # bounded probe, not a full count
         import numpy as np
 
         src, dst, _w = local_tail.collect_edges(G.edges, weighted=False)

@@ -36,10 +36,11 @@ def _sym_edges(G: Graph) -> DataFrame:
 def _try_local(G: Graph, local_tail_edges: int | None):
     """Collect (src, dst, vertices) when the edge list fits the driver
     tail (``plans/local_tail.py`` — the single-GPU-handoff analog);
-    None when the graph is big and the distributed loop must run. One
-    count job; Luby loops would otherwise pay ≥1 job per round."""
+    None when the graph is big and the distributed loop must run. The
+    gate is a bounded limit-probe (``local_tail.fits``), not a full
+    count; Luby loops would otherwise pay ≥1 job per round."""
     thr = local_tail.resolve_threshold(local_tail_edges)
-    if thr <= 0 or G.edges.count() > thr:
+    if not local_tail.fits(G.edges, thr):
         return None
     src, dst, _w = local_tail.collect_edges(G.edges, weighted=False)
     import numpy as np

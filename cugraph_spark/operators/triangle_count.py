@@ -139,6 +139,14 @@ _BROADCAST_EDGE_LIMIT = 4_000_000
 # as an AQE broadcast — while the shuffle it removes is ~15x larger.
 _BROADCAST_CLOSING_LEG_LIMIT = 32_000_000
 
+# The non-compacted fallback keeps two LONG key columns, so its hash
+# relation is the generic row-keyed UnsafeHashedRelation with 16-byte
+# keys — roughly 4x the packed LongHashedRelation's footprint per row.
+# The 32M cap was sized (and A/B-measured) for the packed shape; a
+# 32M-row two-long relation would blow the per-executor broadcast
+# budget on exactly the huge-id graphs that take this branch.
+_BROADCAST_CLOSING_LEG_LIMIT_WIDE = 8_000_000
+
 
 def _tri_join(o: DataFrame, n_o: int) -> DataFrame:
     """The oriented 3-way self-join. When the oriented list is small,
@@ -171,7 +179,7 @@ def _tri_join(o: DataFrame, n_o: int) -> DataFrame:
         # ids did not compact to int32 — packing would collide; keep
         # the two-column closing join
         e3 = o.select(F.col(SRC).alias("u"), F.col(DST).alias("w"))
-        if n_o <= _BROADCAST_CLOSING_LEG_LIMIT:
+        if n_o <= _BROADCAST_CLOSING_LEG_LIMIT_WIDE:
             e3 = F.broadcast(e3)
         return e1.join(e2, "v").join(e3, ["u", "w"])
 

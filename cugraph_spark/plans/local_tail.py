@@ -44,6 +44,14 @@ def resolve_threshold(local_tail_edges: int | None) -> int:
     return LOCAL_TAIL_EDGES if local_tail_edges is None else int(local_tail_edges)
 
 
+def fits(edges_df, thr: int) -> bool:
+    """Bounded probe: does the edge list fit the driver tail? Scans at
+    most ``thr + 1`` rows (``limit`` early-exits), where a bare
+    ``count()`` gate would pay one full O(E) pass per operator call on
+    exactly the billion-edge graphs that can never take the tail."""
+    return thr > 0 and edges_df.limit(thr + 1).count() <= thr
+
+
 def collect_edges(edges_df, weighted: bool = True):
     """One collect of (src, dst[, weight]) into numpy arrays."""
     cols = ["src", "dst"] + (["weight"] if weighted else [])
@@ -128,7 +136,11 @@ def move_phase_local(
         new_labels = labels.copy()
         ok = best_gain > min_gain
         if move_mask_seed is not None:
-            h = xxhash64(verts[sv], ("int", rnd), ("int", move_mask_seed))
+            # bare ints follow F.lit's width rule (int32 when they fit,
+            # long otherwise) — the distributed twin passes the seed
+            # through F.lit, so forcing "int" here would diverge from
+            # the JVM hash stream for seeds >= 2**31
+            h = xxhash64(verts[sv], rnd, move_mask_seed)
             ok = ok & (pmod2(h) == 0)
         new_labels[sv[ok]] = best_label[ok]
         changed = int((new_labels != labels).sum())
@@ -204,7 +216,8 @@ def _luby_select(
     neighbor's. Returns the selected vertex ids."""
     act = np.isin(s, active) & np.isin(d, active)
     es, ed = s[act], d[act]
-    h_all = xxhash64(active, ("int", rnd), ("int", seed))
+    # bare ints follow F.lit's width rule — see _move_phase's seed note
+    h_all = xxhash64(active, rnd, seed)
     # priority of the src side of each active edge
     pos_s = np.searchsorted(active, es)
     hs = h_all[pos_s]

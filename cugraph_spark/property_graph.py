@@ -242,6 +242,12 @@ def hypergraph(
     (``cat::value``), exactly the reference's ``categories`` knob
     (hypergraph.py:105-108, ``cat = categories.get(key, key)``).
     Returns an edge DataFrame (src, dst, weight).
+
+    Row identity: ``row_id_col`` when present; otherwise a
+    deterministic CONTENT-HASH id. Under that fallback, exact
+    duplicate rows collapse into ONE row-node (set semantics) — pass
+    ``row_id_col`` when the input is a multiset and per-physical-row
+    nodes matter (e.g. de-normalized event logs with repeated rows).
     """
     cols = columns or [c for c in df.columns if c != row_id_col]
     categories = categories or {}

@@ -75,6 +75,17 @@ def test_mis_local_equals_distributed(spark, kind):
     )
 
 
+def test_mis_local_equals_distributed_wide_seed(spark):
+    """Seeds >= 2**31 type as LongType through F.lit, so the local
+    twin must hash them on the 8-byte path too — forcing the int path
+    silently int32-wraps and diverges from the JVM stream."""
+    G = _graph(spark, "weighted")
+    wide = 2**31 + 12345
+    assert _rows(maximal_independent_set(G, seed=wide, local_tail_edges=BIG)) == _rows(
+        maximal_independent_set(G, seed=wide, local_tail_edges=0)
+    )
+
+
 @pytest.mark.parametrize("kind", ["weighted", "self_loops"])
 def test_core_number_local_equals_distributed(spark, kind):
     G = _graph(spark, kind)
