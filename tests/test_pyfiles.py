@@ -44,3 +44,41 @@ def test_zip_deterministic(tmp_path):
     h1 = hashlib.sha256(_build(tmp_path, "d1").read_bytes()).hexdigest()
     h2 = hashlib.sha256(_build(tmp_path, "d2").read_bytes()).hexdigest()
     assert h1 == h2
+
+
+def test_submit_job_wcc_local_smoke(tmp_path, spark):
+    """submit_job.py end-to-end on the derived purchase graph: the
+    north-rule deployment entry for the non-PageRank algorithms (WCC
+    here) writes a (vertex, labels) parquet."""
+    import tools.submit_job as sj
+
+    out = tmp_path / "wcc_out"
+    argv = [
+        "submit_job.py", "--algo", "wcc",
+        "--edges", "/root/testdata/sf0.001/lineitem.parquet",
+        "--derive-cs", "--out", str(out),
+    ]
+    old = sys.argv
+    sys.argv = argv
+    try:
+        sj.main()
+    finally:
+        sys.argv = old
+    got = spark.read.parquet(str(out))
+    assert set(got.columns) == {"vertex", "labels"}
+    assert got.count() > 0
+
+
+def test_submit_job_resume_requires_checkpoint():
+    import tools.submit_job as sj
+
+    old = sys.argv
+    sys.argv = ["submit_job.py", "--algo", "wcc", "--edges", "x",
+                "--out", "y", "--resume"]
+    try:
+        import pytest as _pt
+
+        with _pt.raises(SystemExit):
+            sj.main()
+    finally:
+        sys.argv = old
