@@ -226,6 +226,7 @@ class Graph:
         renumbered_mapping: DataFrame | None = None,
         pre_partitioned: bool = False,
         assume_symmetric: bool = False,
+        pre_partition_key: str = SRC,
     ):
         e = _check_edge_cols(edges, weighted)
         transformed = False
@@ -251,10 +252,20 @@ class Graph:
         self.weighted = weighted
         self.mapping = renumbered_mapping
         # pre_partitioned declares the edges arrive hash-partitioned on
-        # src (e.g. a bucketed-table scan, sources/bucketed.py) so
-        # superstep operators skip their repartition(P, src). Any
-        # constructor transform re-shuffles and voids that layout.
+        # pre_partition_key ('src' default; 'dst' for tables bucketed
+        # for the broadcast-mode zero-exchange superstep — see
+        # sources/bucketed.py) so superstep operators skip the matching
+        # repartition. Any constructor transform re-shuffles and voids
+        # that layout.
+        if pre_partition_key not in (SRC, DST):
+            raise ValueError(f"pre_partition_key must be {SRC!r} or {DST!r}")
         self.pre_partitioned = pre_partitioned and not transformed
+        self.pre_partition_key = pre_partition_key
+
+    def partitioned_on(self, key: str) -> bool:
+        """True when the edges are declared hash-partitioned on ``key``
+        (operators skip the matching repartition)."""
+        return self.pre_partitioned and self.pre_partition_key == key
 
     # ---- construction helpers (cugraph from_*_edgelist analogs) ----
 

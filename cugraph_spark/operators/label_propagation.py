@@ -92,9 +92,9 @@ def label_propagation(
     # scans the cache in place.
     e = G.edges.select(SRC, DST, WGT)
     if not bcast:
-        if not G.pre_partitioned:  # select preserves a bucketed layout
+        if not G.partitioned_on(SRC):  # select preserves a bucketed layout
             e = e.repartition(P, SRC)
-    elif V >= DST_PARTITION_MIN_V:
+    elif V >= DST_PARTITION_MIN_V and not G.partitioned_on(DST):
         e = e.repartition(P, DST)
     edges = e.persist(StorageLevel.MEMORY_AND_DISK)
 

@@ -146,7 +146,7 @@ def pagerank(
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
     else:
-        e = G.edges if G.pre_partitioned else G.edges.repartition(P, SRC)
+        e = G.edges if G.partitioned_on(SRC) else G.edges.repartition(P, SRC)
         edges = e.persist(StorageLevel.MEMORY_AND_DISK)
 
     if precomputed_vertex_out_weight is not None:

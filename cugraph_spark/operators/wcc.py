@@ -131,6 +131,13 @@ def weakly_connected_components(
         and lo > -(2**31)
         and hi < 2**31 - 1
     )
+    from pyspark.sql.types import IntegerType
+
+    # an actual long→int cast rewrites the id columns, voiding any
+    # declared bucket layout; on already-int32 ids (a bucketed table
+    # written in final form) the cast simplifies away and the alias
+    # propagates the partitioning, so the layout survives
+    recast = compact and not isinstance(e.schema[SRC].dataType, IntegerType)
     if compact:
         e = e.select(
             F.col(SRC).cast("int").alias(SRC),
@@ -164,9 +171,11 @@ def weakly_connected_components(
     #   map-side combine already collapses the aggregation exchange to
     #   ~P·V rows, which is tiny, and the up-front shuffle would cost
     #   more than it saves.
-    if not bcast and (not G.pre_partitioned or compact):
+    if not bcast and (not G.partitioned_on(SRC) or recast):
         e = e.repartition(P, SRC)
-    elif bcast and V >= _DST_PARTITION_MIN_V:
+    elif bcast and V >= _DST_PARTITION_MIN_V and (
+        not G.partitioned_on(DST) or recast
+    ):
         e = e.repartition(P, DST)
     edges = e.persist(StorageLevel.MEMORY_AND_DISK)
     id_t = "int" if compact else "long"

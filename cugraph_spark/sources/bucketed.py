@@ -41,15 +41,26 @@ def write_bucketed_edges(
     buckets: int,
     path: str | None = None,
     mode: str = "errorifexists",
+    key: str = SRC,
 ) -> None:
     """Persist ``edges`` as a bucketed table (``bucketBy(buckets,
-    src)``, sorted within buckets by (src, dst)). ``path`` makes it an
-    external table. The input must already be the final edge form —
-    see module docstring."""
+    key)``, sorted within buckets by (key, other)). ``path`` makes it
+    an external table. The input must already be the final edge form —
+    see module docstring.
+
+    ``key``: ``src`` (default) co-locates the shuffle-hash-mode
+    superstep join; ``dst`` co-locates the broadcast-mode zero-exchange
+    aggregation (docs/PLANS.md round 3) — pick by where V sits against
+    ``plans/strategy.NARROW_STATE_BROADCAST_LIMIT``. Store vertex ids
+    as int32 when they fit: WCC's compaction is then a no-op cast and
+    the bucket layout survives into the superstep plan."""
+    if key not in (SRC, DST):
+        raise ValueError(f"key must be {SRC!r} or {DST!r}")
+    other = DST if key == SRC else SRC
     w = (
         edges.write.format("parquet")
-        .bucketBy(buckets, SRC)
-        .sortBy(SRC, DST)
+        .bucketBy(buckets, key)
+        .sortBy(key, other)
         .mode(mode)
     )
     if path is not None:
@@ -58,13 +69,15 @@ def write_bucketed_edges(
 
 
 def read_bucketed_edges(
-    spark: SparkSession, table: str, weighted: bool = True, directed: bool = True
+    spark: SparkSession, table: str, weighted: bool = True,
+    directed: bool = True, key: str = SRC,
 ) -> Graph:
     """Open a bucketed edge table as a ``pre_partitioned`` Graph:
     superstep operators trust the bucket layout and skip their initial
     edge shuffle. Pass ``directed=False`` when the table was written
     from an undirected graph's (already-symmetrized) edges — the read
-    trusts that physical form instead of re-symmetrizing."""
+    trusts that physical form instead of re-symmetrizing. ``key`` must
+    name the column the table was bucketed by (the writer's ``key``)."""
     return Graph(
         spark.read.table(table),
         directed=directed,
@@ -72,4 +85,5 @@ def read_bucketed_edges(
         multi_edge=True,
         pre_partitioned=True,
         assume_symmetric=not directed,
+        pre_partition_key=key,
     )

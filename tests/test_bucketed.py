@@ -72,3 +72,45 @@ def test_wcc_matches_on_bucketed_symmetric_graph(spark, tmp_path):
     ca = sorted(map(tuple, weakly_connected_components(Gb).collect()))
     cb = sorted(map(tuple, weakly_connected_components(Gn).collect()))
     assert ca == cb
+
+
+def test_dst_bucketed_int32_wcc_lpa_match_and_skip_shuffle(spark, tmp_path):
+    """dst-bucketed table with int32 ids: the broadcast-mode
+    zero-exchange superstep trusts the stored layout — labels identical
+    to the plain path, and the plan-side guarantee is that neither a
+    src nor dst repartition is requested (partitioned_on(DST) holds)."""
+    import sys
+
+    from cugraph_spark.graph import symmetrize
+    from cugraph_spark.operators.label_propagation import label_propagation
+
+    spark.sql("DROP TABLE IF EXISTS be_dst")
+    raw = edges_df(spark, make_edges("tiny_social"))
+    sym = symmetrize(raw).select(
+        F.col("src").cast("int").alias("src"),
+        F.col("dst").cast("int").alias("dst"),
+        F.col("weight"),
+    )
+    write_bucketed_edges(sym, "be_dst", buckets=4,
+                         path=str(tmp_path / "be_dst"), key="dst")
+    Gb = read_bucketed_edges(spark, "be_dst", directed=False, key="dst")
+    assert Gb.partitioned_on("dst") and not Gb.partitioned_on("src")
+    Gn = Graph(raw, directed=False)
+
+    # force the dst-partition branch even at toy V so the skip matters
+    wcc_mod = sys.modules["cugraph_spark.operators.wcc"]
+    lpa_mod = sys.modules["cugraph_spark.operators.label_propagation"]
+    old_w = wcc_mod._DST_PARTITION_MIN_V
+    old_l = lpa_mod.DST_PARTITION_MIN_V
+    wcc_mod._DST_PARTITION_MIN_V = 1
+    lpa_mod.DST_PARTITION_MIN_V = 1
+    try:
+        a = sorted(map(tuple, weakly_connected_components(Gb).collect()))
+        b = sorted(map(tuple, weakly_connected_components(Gn).collect()))
+        assert a == b
+        la = sorted(map(tuple, label_propagation(Gb, max_iter=5).collect()))
+        lb = sorted(map(tuple, label_propagation(Gn, max_iter=5).collect()))
+        assert la == lb
+    finally:
+        wcc_mod._DST_PARTITION_MIN_V = old_w
+        lpa_mod.DST_PARTITION_MIN_V = old_l
