@@ -74,6 +74,25 @@ def test_wcc_matches_on_bucketed_symmetric_graph(spark, tmp_path):
     assert ca == cb
 
 
+def test_pagerank_ignores_dst_layout(spark, tmp_path):
+    """PageRank's shuffle-hash mode needs a SRC layout; a dst-bucketed
+    graph must NOT be treated as pre-partitioned for it (the skip is
+    keyed on partitioned_on(SRC)) — ranks must still match the plain
+    path."""
+    spark.sql("DROP TABLE IF EXISTS be_dst_pr")
+    e = edges_df(spark, make_edges("tiny_social"))
+    write_bucketed_edges(e, "be_dst_pr", buckets=4,
+                         path=str(tmp_path / "be_dst_pr"), key="dst")
+    Gb = read_bucketed_edges(spark, "be_dst_pr", key="dst")
+    assert not Gb.partitioned_on("src")
+    Gn = Graph(e, directed=True, multi_edge=True)
+    a = {r.vertex: r.pagerank for r in pagerank(Gb, max_iter=15).collect()}
+    b = {r.vertex: r.pagerank for r in pagerank(Gn, max_iter=15).collect()}
+    assert set(a) == set(b)
+    for v in a:
+        assert abs(a[v] - b[v]) < 1e-12
+
+
 def test_dst_bucketed_int32_wcc_lpa_match_and_skip_shuffle(spark, tmp_path):
     """dst-bucketed table with int32 ids: the broadcast-mode
     zero-exchange superstep trusts the stored layout — labels identical
