@@ -328,7 +328,10 @@ def ivf_assign(
     k×d codebook (never a crossJoin), the update is one per-component
     avg aggregate (map-side combinable — only k×d floats ever reach the
     driver, the ``host_scalar_allreduce`` analog). Empty cells keep
-    their previous centroid. Deterministic given (seed, corpus).
+    their previous centroid. Deterministic given (seed, corpus) —
+    bit-identical across runs and parallelism levels, because the
+    Lloyd sums accumulate as scaled longs (order-independent), not
+    doubles whose partial-merge order varies.
 
     ``train_iters=0`` keeps the crossJoin-scored sample quantizer whose
     float path the DuckDB oracle replays value-exactly
@@ -353,21 +356,39 @@ def ivf_assign(
         import numpy as np
 
         rows = sorted(cents.collect(), key=lambda r: r["ivf_cell"])
+    if train_iters > 0 and rows:
         cell_ids = [r["ivf_cell"] for r in rows]
         C = np.array([list(r["cent"]) for r in rows], dtype=np.float64)
         dim = C.shape[1]
+        # Lloyd update in FIXED-POINT: per-component sums accumulate as
+        # scaled longs (integer addition is order-independent), so the
+        # trained centroids — hence assignments — are bit-identical
+        # across runs AND parallelism levels. A double F.avg would
+        # drift by ulps with the partial-aggregate merge order (the
+        # same hazard the modularity() comment documents), flipping
+        # near-equidistant vectors between cells run-to-run. 2^20
+        # quantization (≈1e-6 per component) is far below any coarse
+        # quantizer's resolution; headroom: |x|·2^20·members/cell must
+        # stay under 2^63 — 10^9-row cells of |x|≤1e3 components fit.
+        scale = float(1 << 20)
         for _ in range(train_iters):
             assigned_it = _assign_cells_blas(df, id_col, vec_col, C, cell_ids)
             member_means = (
                 vecs.join(assigned_it, id_col)
                 .groupBy("ivf_cell")
-                .agg(*[F.avg(F.col("v")[i]).alias(f"c{i}") for i in range(dim)])
+                .agg(
+                    F.count("*").alias("n"),
+                    *[
+                        F.sum(F.round(F.col("v")[i] * scale).cast("long")).alias(f"c{i}")
+                        for i in range(dim)
+                    ],
+                )
                 .collect()
             )
             Cn = C.copy()  # empty cells keep their previous centroid
             for r in member_means:
                 Cn[cell_ids.index(r["ivf_cell"])] = [
-                    r[f"c{i}"] for i in range(dim)
+                    r[f"c{i}"] / scale / r["n"] for i in range(dim)
                 ]
             C = Cn
         assigned = df.join(_assign_cells_blas(df, id_col, vec_col, C, cell_ids), id_col)

@@ -210,9 +210,14 @@ def resize_images(
         other = [c for c in df.columns if c != m]
         src = df.select(*other, F.col(m + ".data").alias("_data"),
                         F.col(m + ".mime").alias("_mime"),
+                        F.col(m + ".width").alias("_w"),
+                        F.col(m + ".height").alias("_h"),
                         F.col(m + ".duration_ms").alias("_dur"))
 
-        keep_cols = [c for c, _t in src.dtypes if c not in ("_data", "_mime")]
+        keep_cols = [
+            c for c, _t in src.dtypes
+            if c not in ("_data", "_mime", "_w", "_h")
+        ]
         strict = decode == "strict"
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -229,8 +234,10 @@ def resize_images(
                 Image = None
 
             for pdf in batches:
-                out_bytes, out_mime = [], []
-                for d, mm in zip(pdf["_data"], pdf["_mime"]):
+                out_bytes, out_mime, out_w, out_h = [], [], [], []
+                for d, mm, ow, oh in zip(
+                    pdf["_data"], pdf["_mime"], pdf["_w"], pdf["_h"]
+                ):
                     raw = bytes(d)
                     is_img = bool(mm) and mm.startswith("image/")
                     if Image is not None and is_img:
@@ -240,6 +247,8 @@ def resize_images(
                             img.resize((width, height), Image.BILINEAR).save(buf, "PNG")
                             out_bytes.append(buf.getvalue())
                             out_mime.append("image/png")
+                            out_w.append(width)
+                            out_h.append(height)
                             continue
                         except Exception:
                             # corrupt/truncated payload: 'auto' passes
@@ -247,44 +256,53 @@ def resize_images(
                             # the job rather than silently degrading
                             if strict:
                                 raise
-                    elif strict and is_img:
-                        raise NotImplementedError(
-                            "decode='strict' resize on an executor "
-                            "without Pillow"
-                        )
                     # non-image mime, missing codec, or auto-mode decode
-                    # failure: passthrough (sha256 restamp below is a
-                    # no-op over unchanged bytes)
+                    # failure: FULL passthrough — bytes AND declared
+                    # dims (stamping the target dims on a row that was
+                    # not actually resized would make the metadata lie
+                    # about the payload)
                     out_bytes.append(raw)
                     out_mime.append(mm)
+                    out_w.append(ow)
+                    out_h.append(oh)
                 out = pdf[keep_cols].copy()
                 out["_data"] = out_bytes
                 out["_mime"] = out_mime
+                out["_w"] = out_w
+                out["_h"] = out_h
                 yield out
 
-        fields = ", ".join(f"{c} {t}" for c, t in src.dtypes if c not in ("_data", "_mime"))
+        fields = ", ".join(
+            f"{c} {t}" for c, t in src.dtypes
+            if c not in ("_data", "_mime", "_w", "_h")
+        )
         resized = src.mapInPandas(
-            run, schema=f"{fields}, _data binary, _mime string"
+            run, schema=f"{fields}, _data binary, _mime string, _w int, _h int"
         )
         return resized.withColumn(
             m,
             F.struct(
                 F.col("_data").alias("data"),
                 F.col("_mime").alias("mime"),
-                F.lit(width).cast("int").alias("width"),
-                F.lit(height).cast("int").alias("height"),
+                F.col("_w").alias("width"),
+                F.col("_h").alias("height"),
                 F.col("_dur").alias("duration_ms"),
                 F.sha2(F.col("_data"), 256).alias("sha256"),
             ),
-        ).drop("_data", "_mime", "_dur")
+        ).drop("_data", "_mime", "_w", "_h", "_dur")
     m = media_col
+    # deterministic fake: restamp dims ONLY where a real resize would
+    # have acted (image/* rows) — non-image rows pass through unchanged
+    is_img = F.col(f"{m}.mime").startswith("image/")
     return df.withColumn(
         m,
         F.struct(
             F.col(f"{m}.data").alias("data"),
             F.col(f"{m}.mime").alias("mime"),
-            F.lit(width).cast("int").alias("width"),
-            F.lit(height).cast("int").alias("height"),
+            F.when(is_img, F.lit(width)).otherwise(F.col(f"{m}.width"))
+            .cast("int").alias("width"),
+            F.when(is_img, F.lit(height)).otherwise(F.col(f"{m}.height"))
+            .cast("int").alias("height"),
             F.col(f"{m}.duration_ms").alias("duration_ms"),
             F.col(f"{m}.sha256").alias("sha256"),
         ),

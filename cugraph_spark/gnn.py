@@ -148,6 +148,7 @@ class BulkSampler:
         self.with_replacement = with_replacement
         self.batches_per_partition = batches_per_partition
         self._pending: DataFrame | None = None
+        self._edge_caches: list = []
         self.flush_count = 0
 
     def add_batches(
@@ -174,7 +175,10 @@ class BulkSampler:
         weight, hop, batch_partition] for every pending batch."""
         if self._pending is None:
             raise ValueError("no batches added")
-        self._edge_caches: list = []
+        # APPENDS to self._edge_caches (never rebinds it): a caller may
+        # sample() then flush() — which samples again — and a rebind
+        # would orphan the first call's checkpointed edge frames,
+        # re-creating the driver-GC-timed leak flush() exists to close
         out = uniform_neighbor_sample_batched(
             self.graph,
             self._pending,

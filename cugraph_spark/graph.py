@@ -44,7 +44,9 @@ _NUMERIC_ID_PREFIXES = (
 )
 
 
-def _check_edge_cols(edges: DataFrame, weighted: bool) -> DataFrame:
+def _check_edge_cols(
+    edges: DataFrame, weighted: bool, keep_int_ids: bool = False
+) -> DataFrame:
     cols = set(edges.columns)
     if SRC not in cols or DST not in cols:
         raise ValueError(f"edge DataFrame needs columns '{SRC}','{DST}'; got {edges.columns}")
@@ -58,7 +60,18 @@ def _check_edge_cols(edges: DataFrame, weighted: bool) -> DataFrame:
                 f"{dtypes[c]!r}; renumber first (Graph.from_edgelist("
                 "..., do_renumber=True) or cugraph_spark.renumber)"
             )
-    out = [F.col(SRC).cast("long").alias(SRC), F.col(DST).cast("long").alias(DST)]
+    # keep_int_ids (set for pre_partitioned graphs): a bucketed table
+    # stored with int32 ids must flow through UNCAST — an int→long cast
+    # rewrites the bucket column, so Catalyst can no longer match the
+    # scan's hashpartitioning and every superstep would re-exchange the
+    # O(E) side, defeating the write-once zero-exchange layout
+    # (sources/bucketed.py). Only when BOTH ids are int32 — mixed
+    # widths would push casts into every join key instead.
+    id_type = (
+        "int" if keep_int_ids and dtypes[SRC] == "int" and dtypes[DST] == "int"
+        else "long"
+    )
+    out = [F.col(SRC).cast(id_type).alias(SRC), F.col(DST).cast(id_type).alias(DST)]
     if weighted:
         if WGT in cols:
             out.append(F.col(WGT).cast("double").alias(WGT))
@@ -228,7 +241,7 @@ class Graph:
         assume_symmetric: bool = False,
         pre_partition_key: str = SRC,
     ):
-        e = _check_edge_cols(edges, weighted)
+        e = _check_edge_cols(edges, weighted, keep_int_ids=pre_partitioned)
         transformed = False
         if not multi_edge:
             e = drop_multi_edges(e, keep="min")

@@ -434,8 +434,19 @@ def leiden(
             checkpoint.root, checkpoint.name + "_seed", checkpoint.format
         )
     start_level = 0
+    it0 = None
     if resume and checkpoint is not None and checkpoint.latest_iteration() is not None:
-        it0 = checkpoint.latest_iteration()
+        # a level is durable only when BOTH managers committed it: a
+        # crash between the main save and the seed-sidecar save would
+        # leave the main manager one level ahead, and resuming from its
+        # latest would hit a missing seed dir forever. Resume from the
+        # last level present in both (re-running the torn level is
+        # safe — saves are idempotent per iteration id).
+        it_main = checkpoint.latest_iteration()
+        it_seed = seed_ckpt.latest_iteration()
+        if it_seed is not None:
+            it0 = min(it_main, it_seed)
+    if it0 is not None:
         saved, meta = checkpoint.load(spark, it0)
         assignment = saved.transform(truncate_plan)
         best_q = float(meta["metrics"]["modularity"])

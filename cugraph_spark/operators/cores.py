@@ -58,7 +58,12 @@ def core_number(
     from ..plans import local_tail
 
     thr = local_tail.resolve_threshold(local_tail_edges)
-    if local_tail.fits(G.edges, thr):  # bounded probe, not a full count
+    # The exact peel equals the h-index fixpoint only at CONVERGENCE; a
+    # caller-truncated budget (max_iter below the default) asks for the
+    # partially-converged distributed value, which the peel cannot
+    # reproduce — run distributed in that case so both sides of the
+    # size gate honor the same contract.
+    if max_iter >= 100 and local_tail.fits(G.edges, thr):
         import numpy as np
 
         src, dst, _w = local_tail.collect_edges(G.edges, weighted=False)

@@ -88,12 +88,37 @@ def move_phase_local(
     hash move mask. Returns a pandas frame [vertex, k, labels] matching
     the distributed state columns."""
     verts = np.unique(np.concatenate([src, dst]))
-    n = len(verts)
-    si = _index_of(verts, src)
-    di = _index_of(verts, dst)
-
-    k = np.zeros(n, dtype=np.float64)
-    np.add.at(k, si, wgt)
+    if init_labels is not None:
+        # the distributed twin seeds state via an INNER join on the
+        # label frame — vertices absent from init_labels drop out of
+        # the state there (not a KeyError): k keeps every src-side
+        # edge weight (distributed k is grouped over the FULL edge
+        # frame before the init join), while the scoring joins only see
+        # edges whose BOTH endpoints carry state. Mirror both.
+        keep = np.array([int(v) in init_labels for v in verts], dtype=bool)
+        if not keep.all():
+            kept = set(verts[keep].tolist())
+            verts = verts[keep]
+            smask = np.array([s in kept for s in src], dtype=bool)
+            n = len(verts)
+            k = np.zeros(n, dtype=np.float64)
+            np.add.at(k, _index_of(verts, src[smask]), wgt[smask])
+            emask = smask & np.array([d in kept for d in dst], dtype=bool)
+            src, dst, wgt = src[emask], dst[emask], wgt[emask]
+            si = _index_of(verts, src)
+            di = _index_of(verts, dst)
+        else:
+            n = len(verts)
+            si = _index_of(verts, src)
+            di = _index_of(verts, dst)
+            k = np.zeros(n, dtype=np.float64)
+            np.add.at(k, si, wgt)
+    else:
+        n = len(verts)
+        si = _index_of(verts, src)
+        di = _index_of(verts, dst)
+        k = np.zeros(n, dtype=np.float64)
+        np.add.at(k, si, wgt)
 
     if init_labels is None:
         labels = verts.copy()

@@ -37,8 +37,21 @@ BROADCAST_VERTEX_LIMIT = 4_000_000
 # 4.19M max id), 32 cores, min-of-2: WCC 63.4s shuffle-hash vs 60.3s
 # broadcast+dst; LPA 91.1s vs 62.4s (1.46x — BOTH of its per-superstep
 # dst-keyed aggregations go exchange-free). tools/ab_lpa_cutover.py,
-# BENCH/BASELINE.md round-3 section. 8M ≈ 64 MB broadcast.
-NARROW_STATE_BROADCAST_LIMIT = 8_000_000
+# BENCH/BASELINE.md round-3 section.
+#
+# Raised 8M → 24M after the RMAT-24 pair regressed: occupied
+# V=8,872,774 sat just ABOVE the 8M cutover, so WCC fell back to
+# shuffle-hash and N→4N e2e efficiency dropped to 0.535 (from 0.711 at
+# RMAT-23 in broadcast mode). Direct A/B at that V (RMAT-24 ef16,
+# 520.8M symmetrized edges, 32 cores, min-of-2): WCC 160.8s
+# shuffle-hash vs 101.0s broadcast+dst — 1.59x, and the gap WIDENS
+# with P (the exchange it removes is the P-proportional term). 24M ≈
+# 192 MB of ids — per-executor budget class of an AQE broadcast. On a
+# many-node cluster the real bound is broadcast replication
+# (V·8B·n_executors per superstep vs ~E·8B shuffled); executors-many
+# deployments with E/V well under ~n_executors/4 should lower this via
+# the broadcast_limit parameter every operator exposes.
+NARROW_STATE_BROADCAST_LIMIT = 24_000_000
 
 # In broadcast-state mode the gather-scatter's edge cache should be
 # hash-partitioned by DST once V is large: the per-superstep

@@ -261,14 +261,26 @@ def hypergraph(
     if row_id_col in df.columns:
         rid = F.concat(F.lit("row::"), F.col(row_id_col).cast("string"))
     else:
+        # true SET semantics: physically collapse exact duplicates
+        # BEFORE building edges — identical rows sharing one __rid must
+        # contribute ONE row-node with weight-1 edges, not accumulated
+        # weights. sha2-256 (not a 64-bit hash): at 10⁹+ rows a 64-bit
+        # id has birthday-real collision odds, silently merging two
+        # DISTINCT rows; \x01-separated null-sentinel encoding keeps
+        # column boundaries unambiguous for ordinary data.
+        df = df.dropDuplicates()
         rid = F.concat(
             F.lit("row::"),
-            F.xxhash64(
-                *[
-                    F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
-                    for c in df.columns
-                ]
-            ).cast("string"),
+            F.sha2(
+                F.concat_ws(
+                    "\x01",
+                    *[
+                        F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+                        for c in df.columns
+                    ],
+                ),
+                256,
+            ),
         )
     base = df.withColumn("__rid", rid)
     val_nodes = [

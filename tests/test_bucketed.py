@@ -114,6 +114,17 @@ def test_dst_bucketed_int32_wcc_lpa_match_and_skip_shuffle(spark, tmp_path):
                          path=str(tmp_path / "be_dst"), key="dst")
     Gb = read_bucketed_edges(spark, "be_dst", directed=False, key="dst")
     assert Gb.partitioned_on("dst") and not Gb.partitioned_on("src")
+    # plan-side guarantee, not just the flag: the int32 ids must reach
+    # the superstep aggregation UNCAST (Graph keeps int32 ids on
+    # pre_partitioned graphs), so the bucket layout satisfies the
+    # groupBy(dst) distribution with NO Exchange. An int→long cast at
+    # construction would silently reintroduce the per-superstep O(E)
+    # shuffle this layout exists to remove.
+    agg_plan = (
+        Gb.edges.groupBy("dst").agg(F.min("src"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in agg_plan
     Gn = Graph(raw, directed=False)
 
     # force the dst-partition branch even at toy V so the skip matters

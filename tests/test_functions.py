@@ -267,6 +267,33 @@ def test_multimodal_real_image_decode(spark):
     assert out["sha256"] == hashlib.sha256(bytes(out["data"])).hexdigest()
 
 
+def test_resize_passthrough_keeps_declared_dims(spark):
+    """Rows NOT actually resized (non-image mime in auto/fake mode,
+    corrupt image payload in auto mode) must keep their original
+    declared dims — stamping the target dims on an untouched payload
+    would make the metadata lie about the data."""
+    from cugraph_spark.functions.multimodal import codec_available
+    from cugraph_spark.functions.multimodal import resize_images
+
+    audio = attach_media(
+        spark.createDataFrame([(1, b"RIFFxxxx")], "doc_id long, raw binary"),
+        "raw", "audio/wav", duration_ms=1234,
+    )
+    for mode in ("fake", "auto"):
+        out = resize_images(audio, width=8, height=8, decode=mode).first()["media"]
+        assert bytes(out["data"]) == b"RIFFxxxx"
+        assert out["width"] is None and out["height"] is None  # unchanged
+    if codec_available("image"):
+        # image mime but undecodable payload: auto passes it through whole
+        broken = attach_media(
+            spark.createDataFrame([(1, b"\x89PNGnotreally")], "doc_id long, raw binary"),
+            "raw", "image/png", width=640, height=480,
+        )
+        out = resize_images(broken, width=8, height=8, decode="auto").first()["media"]
+        assert bytes(out["data"]) == b"\x89PNGnotreally"
+        assert (out["width"], out["height"]) == (640, 480)
+
+
 def test_sample_frames(spark):
     rows = [(1, b"videodata")]
     df = attach_media(

@@ -144,3 +144,24 @@ def test_leiden_checkpoint_resume_exact(spark, tmp_path):
     resumed, q_res = leiden(G, checkpoint=cp, resume=True)
     assert _rows(resumed) == _rows(full)
     assert q_res == q_full
+
+
+def test_leiden_torn_checkpoint_resumes_from_last_complete_level(spark, tmp_path):
+    """A crash between the main save and the seed-sidecar save leaves
+    the main manager one level ahead. resume=True must fall back to the
+    last level BOTH managers committed (here: none — fresh start), not
+    raise on the missing seed dir forever."""
+    import shutil
+
+    G = _graph(spark, "disjoint")
+    full, q_full = leiden(G)
+
+    cp = CheckpointManager(str(tmp_path), "leid_torn")
+    leiden(G, max_levels=1, checkpoint=cp)
+    if cp.latest_iteration() is None:
+        pytest.skip("level 0 not accepted on this fixture")
+    # simulate the torn save: the seed sidecar of the latest level is gone
+    shutil.rmtree(str(tmp_path / "leid_torn_seed"), ignore_errors=True)
+    resumed, q_res = leiden(G, checkpoint=cp, resume=True)
+    assert _rows(resumed) == _rows(full)
+    assert q_res == q_full

@@ -102,6 +102,19 @@ def test_hypergraph_rowid_fallback_parallelism_invariant(spark):
     assert len({s for s, _d, _w in e1 if s.startswith("row::")}) == 30
 
 
+def test_hypergraph_rowid_fallback_duplicates_collapse(spark):
+    """SET semantics under the content-hash fallback: exact duplicate
+    rows collapse to ONE row-node with weight-1 edges — not one
+    row-node with accumulated weight-2 edges."""
+    df = spark.createDataFrame(
+        [("x", "p"), ("x", "p"), ("y", "q")], "c1 string, c2 string"
+    )
+    e = hypergraph(df)
+    got = {(r["src"], r["dst"]): r["weight"] for r in e.collect()}
+    assert len({s for s, _d in got}) == 2  # two distinct rows
+    assert all(w == 1.0 for w in got.values())
+
+
 def test_hypergraph_direct(spark):
     df = spark.createDataFrame(
         [(0, "x", "p"), (1, "x", "q")], "row_id long, c1 string, c2 string"
