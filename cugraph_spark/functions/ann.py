@@ -328,10 +328,15 @@ def ivf_assign(
     k×d codebook (never a crossJoin), the update is one per-component
     avg aggregate (map-side combinable — only k×d floats ever reach the
     driver, the ``host_scalar_allreduce`` analog). Empty cells keep
-    their previous centroid. Deterministic given (seed, corpus) —
-    bit-identical across runs and parallelism levels, because the
-    Lloyd sums accumulate as scaled longs (order-independent), not
-    doubles whose partial-merge order varies.
+    their previous centroid. Deterministic given (seed, corpus): the
+    centroid UPDATE is bit-identical across runs and parallelism
+    levels because the Lloyd sums accumulate as scaled longs
+    (order-independent), not doubles whose partial-merge order varies.
+    Cell ASSIGNMENT goes through a per-Arrow-batch BLAS matmul whose
+    float rounding is not contractually batch-shape/BLAS-build stable,
+    so a vector near-equidistant between two centroids could still
+    flip cells under a different parallelism — ties that close are the
+    residual (and only) nondeterminism.
 
     ``train_iters=0`` keeps the crossJoin-scored sample quantizer whose
     float path the DuckDB oracle replays value-exactly

@@ -40,10 +40,15 @@ from pyspark.sql import functions as F
 
 from ..graph import DST, SRC, Graph
 
+# Superstep budget the h-index fixpoint runs to when the caller does not
+# cap it. Shared by the signature default (via None) and the local-tail
+# gate below so the two can never drift apart.
+_DEFAULT_MAX_ITER = 100
+
 
 def core_number(
     G: Graph,
-    max_iter: int = 100,
+    max_iter: int | None = None,
     num_partitions: int | None = None,
     local_tail_edges: int | None = None,
 ) -> DataFrame:
@@ -62,8 +67,11 @@ def core_number(
     # caller-truncated budget (max_iter below the default) asks for the
     # partially-converged distributed value, which the peel cannot
     # reproduce — run distributed in that case so both sides of the
-    # size gate honor the same contract.
-    if max_iter >= 100 and local_tail.fits(G.edges, thr):
+    # size gate honor the same contract. None means "run to
+    # convergence", so it always qualifies.
+    if (max_iter is None or max_iter >= _DEFAULT_MAX_ITER) and local_tail.fits(
+        G.edges, thr
+    ):
         import numpy as np
 
         src, dst, _w = local_tail.collect_edges(G.edges, weighted=False)
@@ -72,6 +80,8 @@ def core_number(
         return G.edges.sparkSession.createDataFrame(
             out, "vertex long, core_number long"
         )
+    if max_iter is None:
+        max_iter = _DEFAULT_MAX_ITER
     spark = G.edges.sparkSession
     P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     edges = (

@@ -252,8 +252,8 @@ def hypergraph(
     cols = columns or [c for c in df.columns if c != row_id_col]
     categories = categories or {}
     # Row identity: row_id_col when present; otherwise the row's
-    # CONTENT HASH (xxhash64 over every column with a null sentinel) —
-    # deterministic at any parallelism, unlike the round-2
+    # CONTENT HASH (sha2-256 over a length-prefixed encoding of every
+    # column) — deterministic at any parallelism, unlike the round-2
     # monotonically_increasing_id fallback whose ids depended on
     # partition layout (two runs at different core counts renamed every
     # row-node). Exact duplicate rows collapse to one row-node under
@@ -266,19 +266,24 @@ def hypergraph(
         # contribute ONE row-node with weight-1 edges, not accumulated
         # weights. sha2-256 (not a 64-bit hash): at 10⁹+ rows a 64-bit
         # id has birthday-real collision odds, silently merging two
-        # DISTINCT rows; \x01-separated null-sentinel encoding keeps
-        # column boundaries unambiguous for ordinary data.
+        # DISTINCT rows. Each value is LENGTH-PREFIXED ("<len>:<val>";
+        # null → "n:") before joining, so column boundaries stay
+        # unambiguous even when values themselves contain the join
+        # separator — ("a\x01b","c") and ("a","b\x01c") encode
+        # differently ("4:a\x01b␟1:c" vs "1:a␟4:b\x01c"), where a bare
+        # concat_ws would have merged them into one row-node.
         df = df.dropDuplicates()
+
+        def _enc(c: str):
+            s = F.col(c).cast("string")
+            return F.when(s.isNull(), F.lit("n:")).otherwise(
+                F.concat(F.length(s).cast("string"), F.lit(":"), s)
+            )
+
         rid = F.concat(
             F.lit("row::"),
             F.sha2(
-                F.concat_ws(
-                    "\x01",
-                    *[
-                        F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
-                        for c in df.columns
-                    ],
-                ),
+                F.concat_ws("\x01", *[_enc(c) for c in df.columns]),
                 256,
             ),
         )

@@ -118,6 +118,34 @@ def test_ecg_local_equals_distributed(spark):
     assert qa == qb
 
 
+def test_move_phase_partial_init_labels_local_equals_distributed(spark):
+    """init_labels missing some vertices: the distributed move phase
+    drops those vertices via its INNER init join (k still grouped over
+    the FULL edge frame first); the local twin's filtering branch
+    (``move_phase_local`` init_labels path) must be bit-identical —
+    same surviving vertex set, same k, same final labels."""
+    from cugraph_spark.operators.community import _move_phase
+
+    G = _graph(spark, "weighted")
+    e = G.edges
+    two_m = 2.0 * e.agg(F.sum("weight")).first()[0]
+    n_edges = e.count()
+    # seed labels for a strict subset of the vertices (drop ids > 25),
+    # grouped into two coarse communities
+    init = (
+        G.vertices()
+        .filter(F.col("vertex") <= 25)
+        .select("vertex", (F.col("vertex") % 2).alias("labels"))
+    )
+    kw = dict(two_m=two_m, max_iter=5, resolution=1.0, min_gain=1e-9,
+              init_labels=init, n_edges=n_edges)
+    local = _move_phase(e, local_tail_edges=BIG, **kw)
+    dist = _move_phase(e, local_tail_edges=0, **kw)
+    assert _rows(local) == _rows(dist)
+    # the branch under test actually filtered something
+    assert local.count() < G.vertices().count()
+
+
 def test_louvain_checkpoint_resume_exact(spark, tmp_path):
     """Kill-after-level-0 + resume == uninterrupted run (per-level
     durable state; coarse edges recomputed from the saved assignment)."""
