@@ -22,6 +22,22 @@ O(distinct (dst,label)); one changed-count action per ``check_every``
 supersteps (the supersteps in between are lazy plan executing inside
 the next check's job — overshooting the fixpoint is a no-op, so any
 ``check_every`` returns identical labels).
+
+Frontier/delta supersteps: the argmax needs ALL of a vertex's incident
+contributions, so LPA cannot delta-message like WCC's monotone
+hash-min — instead it recomputes the argmax EXACTLY, but only for
+*affected* vertices (those with ≥1 neighbor whose label changed last
+superstep). Unaffected vertices see identical scores, hence identical
+argmax, hence identical labels — the frontier superstep is
+row-for-row equal to the dense synchronous update. Once the measured
+changed-count drops below ``frontier_threshold``, a superstep probes a
+lazily-built weighted adjacency cache (``groupBy(src).collect_list
+(struct(dst, w))`` — O(V) rows) twice: broadcast-delta → affected set,
+then affected → their full in-edge lists (symmetrized graph: in-edges
+of v are the reverses of v's out-edges, so one src-keyed adjacency
+serves both probes); the scores/argmax aggregations then run over
+frontier-incident edges instead of all E. The edges⋈state label join
+keeps the dense path's broadcast/shuffle-hash strategy.
 """
 
 from __future__ import annotations
@@ -50,6 +66,8 @@ def label_propagation(
     resume: bool = False,
     check_every: int = 1,
     broadcast_limit: int | None = None,
+    frontier_threshold: int | None = None,
+    superstep_metrics: list | None = None,
 ) -> DataFrame:
     """Returns DataFrame ``[vertex, labels]``. Requires an undirected
     (symmetrized) graph — incident weight means both directions.
@@ -63,7 +81,17 @@ def label_propagation(
     k-1 wasted (no-op) supersteps when the graph converges mid-chain.
     Use k = max_iter for fixed-budget runs (zero intermediate actions;
     k-superstep chains stay linear in Catalyst because truncate_plan
-    cuts each superstep's lineage lazily)."""
+    cuts each superstep's lineage lazily).
+
+    ``frontier_threshold``: changed-count at or below which supersteps
+    switch to affected-set recomputation (module docstring) — identical
+    labels per iteration, cost tracking the frontier instead of O(E).
+    Default auto = ``max(1, min(V // 8, 4_000_000))``; ``0`` disables
+    (every superstep dense).
+
+    ``superstep_metrics``: pass a list to receive one dict per checking
+    action with the MEASURED shuffle read/write byte deltas
+    (``plans/metrics.py``), the changed-count, and the mode."""
     if G.directed:
         raise ValueError(
             "label_propagation requires an undirected (symmetrized) graph"
@@ -106,10 +134,85 @@ def label_propagation(
         state = saved.repartition(P, "vertex").transform(truncate_plan)
         start_iter = meta["iteration"] + 1
 
+    # --- frontier/delta machinery (module docstring) ---------------
+    fthr = (
+        max(1, min(V // 8, 4_000_000))
+        if frontier_threshold is None
+        else int(frontier_threshold)
+    )
+    adjw = None
+
+    def _adjacency():
+        # Built once, lazily, on the first frontier superstep: one O(E)
+        # groupBy(src) shuffle buys every later frontier superstep two
+        # O(V)-row probes in place of the O(E) message aggregation.
+        nonlocal adjw
+        if adjw is None:
+            adjw = (
+                edges.groupBy(SRC)
+                .agg(
+                    F.collect_list(
+                        F.struct(F.col(DST).alias("d"), F.col(WGT).alias("w"))
+                    ).alias("nbrs")
+                )
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+        return adjw
+
+    last_changed: int | None = None
+    prev_full = None  # (vertex, labels, old) of the last checked superstep
+
+    probe = None
+    if superstep_metrics is not None:
+        from ..plans.metrics import ShuffleProbe
+
+        probe = ShuffleProbe(spark)
+
     for it in range(start_iter, max_iter):
-        checking = (it + 1) % check_every == 0 or it == max_iter - 1
+        use_frontier = (
+            fthr > 0
+            and state is not None
+            and prev_full is not None
+            and last_changed is not None
+            and 0 < last_changed <= fthr
+        )
+        checking = (
+            use_frontier or (it + 1) % check_every == 0 or it == max_iter - 1
+        )
         # (dst, label(src), w) → Σw per (dst,label) → argmax by (w, -label)
-        if state is None:
+        if use_frontier:
+            # Affected set: every vertex with ≥1 changed neighbor. The
+            # symmetrized graph makes in-edges the reverses of
+            # out-edges, so the src-keyed adjacency serves both probes.
+            delta = prev_full.filter(F.col("labels") != F.col("old")).select(
+                F.col("vertex").alias("dv")
+            )
+            aff = (
+                _adjacency()
+                .join(F.broadcast(delta), F.col(SRC) == F.col("dv"))
+                .select(F.explode("nbrs").alias("nb"))
+                .select(F.col("nb.d").alias("av"))
+                .distinct()
+            )
+            # Full in-edge lists of the affected vertices only — the
+            # argmax input is exact for them, absent for everyone else.
+            cand_e = (
+                _adjacency()
+                .join(aff.hint("shuffle_hash"), F.col(SRC) == F.col("av"))
+                .select(F.col(SRC).alias("a"), F.explode("nbrs").alias("nb"))
+                .select("a", F.col("nb.d").alias("u"), F.col("nb.w").alias("w"))
+            )
+            lab = state.select(
+                F.col("vertex").alias("u2"), F.col("labels").alias("cand")
+            )
+            lside = vertex_join_side(lab, V, limit=blimit)
+            scores = (
+                cand_e.join(lside, F.col("u") == F.col("u2"))
+                .select(F.col("a").alias(DST), "cand", "w")
+                .groupBy(F.col(DST), F.col("cand"))
+                .agg(F.sum("w").alias("w"))
+            )
+        elif state is None:
             # superstep 0 on the identity labeling: label(src) IS src,
             # so the edges⋈state join vanishes — scores come straight
             # off the edge cache (map-side combinable), and because the
@@ -154,8 +257,11 @@ def label_propagation(
         if not checking:
             # stay lazy: this superstep executes inside the next
             # checking superstep's action (a stable labeling is a
-            # fixpoint, so overshooting convergence cannot change it)
+            # fixpoint, so overshooting convergence cannot change it).
+            # No measured delta → the next superstep cannot go frontier.
             state = new_full.select("vertex", "labels")
+            last_changed = None
+            prev_full = None
             continue
 
         changed = (
@@ -166,7 +272,18 @@ def label_propagation(
             )
             .first()["c"]
         )
+        if probe is not None:
+            superstep_metrics.append(
+                {
+                    "iteration": it,
+                    "mode": "frontier" if use_frontier else "dense",
+                    "changed": int(changed),
+                    **probe.delta(),
+                }
+            )
         state = new_full.select("vertex", "labels")
+        prev_full = new_full
+        last_changed = int(changed)
 
         if checkpoint is not None and checkpoint_every and (it + 1) % checkpoint_every == 0:
             state = checkpoint.save(
@@ -177,6 +294,8 @@ def label_propagation(
             break
 
     edges.unpersist()
+    if adjw is not None:
+        adjw.unpersist()
     if state is None:  # max_iter == 0: the identity labeling
         state = G.vertices().withColumn("labels", F.col("vertex"))
     return state.select("vertex", "labels")

@@ -20,6 +20,30 @@ with hash-min propagation accelerated by pointer jumping:
   Spark analog of the reference's contraction levels; together they give
   O(log d) supersteps instead of O(diameter).
 
+Frontier/delta supersteps (the reference's frontier machinery,
+``weakly_connected_components_impl.cuh:185-213`` /
+``prims/transform_reduce_v_frontier_outgoing_e_by_dst.cuh``): hash-min
+is monotone, so once a vertex's label has been announced to its
+neighbors it never needs re-announcing — only vertices whose label
+CHANGED last superstep must emit messages. Every dense superstep
+announces all labels, and every change (lower or jump) lands in the
+``labels != old`` delta, so the announce-invariant holds at any
+dense↔frontier switch point and ``changed == 0`` remains a true
+fixpoint test. When the measured delta drops below
+``frontier_threshold`` the superstep switches to: probe a lazily-built
+adjacency cache (``groupBy(src).collect_list(dst)`` — O(V) rows, built
+once on first use) with the broadcast delta, explode only the matched
+neighbor lists, and aggregate frontier-sized messages — an O(V)-row
+probe whose work tracks |frontier edges| instead of the O(E)-row
+rescan+aggregation the dense superstep pays. The pointer jump runs
+PARTIALLY (only rows changed this superstep look up label(label)) —
+dropping the jump for unchanged rows costs acceleration, never
+correctness, because hash-min alone converges and jump-induced changes
+re-enter the delta. All frontier-side state joins keep the dense
+path's shuffle-hash hints (the mins/jump sides are frontier-sized and
+co-partitioned with the state), so no unbounded frame is ever
+broadcast.
+
 Scale notes: the O(E) edge side is persisted once — hash-partitioned on
 ``src`` only when V exceeds the broadcast cutover (below it the state is
 broadcast and the edge cache is scanned in place, so pre-partitioning
@@ -69,6 +93,8 @@ def weakly_connected_components(
     superstep_seconds: list | None = None,
     min_iter: int = 0,
     broadcast_limit: int | None = None,
+    frontier_threshold: int | None = None,
+    superstep_metrics: list | None = None,
 ) -> DataFrame:
     """Returns DataFrame ``[vertex, labels]`` (reference column name,
     connectivity.py:102-200); ``labels`` = min vertex id in the
@@ -95,7 +121,21 @@ def weakly_connected_components(
     broadcast stays cheap to twice the generic cutover; and broadcast
     mode unlocks the dst-partitioned zero-exchange superstep below,
     which the per-superstep-shuffle P×V analysis (BENCH/BASELINE.md
-    round 3) shows is what restores N→4N scaling at mid-size V."""
+    round 3) shows is what restores N→4N scaling at mid-size V.
+
+    ``frontier_threshold``: once the measured changed-count drops to or
+    below this, supersteps switch to frontier/delta messaging (module
+    docstring) whose cost tracks the frontier size instead of O(E).
+    Default auto = ``max(1, min(V // 8, 4_000_000))`` (the broadcast
+    delta must stay executor-memory-small; the V//8 knee is where the
+    frontier plan's fixed O(V) probe beats the dense plan's O(E)
+    rescan — A/B on RMAT in BENCH/BASELINE.md round 4). ``0`` disables
+    frontier mode entirely (every superstep dense — the round-3 plan).
+
+    ``superstep_metrics``: pass a list to receive one dict per checking
+    action with the MEASURED shuffle read/write byte deltas
+    (``plans/metrics.py`` — the instrumented form of the zero-exchange
+    claim) plus the superstep's changed-count and mode."""
     if G.directed:
         raise ValueError(
             "weakly_connected_components requires an undirected (symmetrized) "
@@ -197,10 +237,109 @@ def weakly_connected_components(
 
     import time as _time
 
+    # --- frontier/delta machinery (module docstring) ---------------
+    fthr = (
+        max(1, min(V // 8, 4_000_000))
+        if frontier_threshold is None
+        else int(frontier_threshold)
+    )
+    adj = None
+
+    def _adjacency():
+        # Built ONCE, lazily, the first superstep that goes frontier:
+        # one O(E) groupBy(src) shuffle (≈ the exchange a single dense
+        # superstep's aggregation would have paid) buys every later
+        # frontier superstep an O(V)-row probe in place of the O(E)
+        # rescan. Hash-partitioned on src by its own groupBy.
+        nonlocal adj
+        if adj is None:
+            adj = (
+                edges.groupBy(SRC)
+                .agg(F.collect_list(DST).alias("nbrs"))
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+        return adj
+
+    last_changed: int | None = None  # measured delta size (checking steps)
+    prev_full = None  # (vertex, labels, old) of the last checked superstep
+
+    probe = None
+    if superstep_metrics is not None:
+        from ..plans.metrics import ShuffleProbe
+
+        probe = ShuffleProbe(spark)
+
     _t0 = _time.perf_counter()
     for it in range(start_iter, max_iter):
-        checking = (it + 1) % check_every == 0 or it == max_iter - 1
-        if state is None:
+        use_frontier = (
+            fthr > 0
+            and state is not None
+            and prev_full is not None
+            and last_changed is not None
+            and 0 < last_changed <= fthr
+        )
+        checking = (
+            use_frontier or (it + 1) % check_every == 0 or it == max_iter - 1
+        )
+        if use_frontier:
+            # Frontier superstep: only last round's changed vertices
+            # announce. Probe the adjacency cache with the broadcast
+            # delta (|delta| ≤ fthr ≤ 4M rows), explode only matched
+            # neighbor lists → frontier-sized messages; the state-side
+            # joins keep the dense path's co-partitioned shuffle-hash
+            # shape (only the frontier-sized side ever exchanges).
+            delta = prev_full.filter(F.col("labels") != F.col("old")).select(
+                F.col("vertex").alias("dv"), F.col("labels").alias("dl")
+            )
+            msgs = (
+                _adjacency()
+                .join(F.broadcast(delta), F.col(SRC) == F.col("dv"))
+                .select(F.explode("nbrs").alias(DST), F.col("dl"))
+                .groupBy(DST)
+                .agg(F.min("dl").alias("nbr_min"))
+            )
+            lowered_f = state.join(
+                msgs.hint("shuffle_hash"), state["vertex"] == msgs[DST], "left"
+            ).select(
+                state["vertex"],
+                F.least(
+                    state["labels"], F.coalesce("nbr_min", state["labels"])
+                ).alias("labels"),
+                state["labels"].alias("old"),
+            )
+            # Eager checkpoint: the partial jump below reads this frame
+            # three times — materialize once instead of re-running the
+            # probe plan per read.
+            low_cp = truncate_plan(lowered_f, eager=True)
+            # Partial pointer jump: only rows changed THIS superstep
+            # look up label(label). Skipping unchanged rows loses
+            # acceleration, never correctness (hash-min alone
+            # converges; jump changes re-enter the delta via old).
+            ch = low_cp.filter(F.col("labels") != F.col("old")).select(
+                F.col("vertex").alias("cv"), F.col("labels").alias("cl")
+            )
+            lk = low_cp.select(
+                F.col("vertex").alias("lv"), F.col("labels").alias("ll")
+            )
+            jmap = lk.join(
+                ch.hint("shuffle_hash"), F.col("lv") == F.col("cl")
+            ).select(F.col("cv"), F.col("ll").alias("jl"))
+            jumped = (
+                low_cp.join(
+                    jmap.hint("shuffle_hash"),
+                    low_cp["vertex"] == F.col("cv"),
+                    "left",
+                )
+                .select(
+                    low_cp["vertex"],
+                    F.least(
+                        low_cp["labels"], F.coalesce("jl", low_cp["labels"])
+                    ).alias("labels"),
+                    low_cp["old"],
+                )
+                .transform(truncate_plan)
+            )
+        elif state is None:
             # Superstep 0 on the identity labeling collapses to ONE
             # map-side-combinable aggregation: min over {v} ∪ N(v) is
             # least(dst, min(src)) grouped by dst — no initial
@@ -243,25 +382,30 @@ def weakly_connected_components(
                 )
                 .transform(truncate_plan)
             )
-        # pointer jump: labels ← labels(labels) — contraction-level analog
-        lab = lowered.select(
-            F.col("vertex").alias("lv"), F.col("labels").alias("ll")
-        )
-        labside = vertex_join_side(lab, V, limit=blimit)
-        jumped = (
-            lowered.join(labside, lowered["labels"] == labside["lv"], "left")
-            .select(
-                lowered["vertex"],
-                F.coalesce(labside["ll"], lowered["labels"]).alias("labels"),
-                lowered["old"],
+        if not use_frontier:
+            # pointer jump: labels ← labels(labels) — contraction-level
+            # analog (the frontier branch did its partial jump above)
+            lab = lowered.select(
+                F.col("vertex").alias("lv"), F.col("labels").alias("ll")
             )
-            .transform(truncate_plan)
-        )
+            labside = vertex_join_side(lab, V, limit=blimit)
+            jumped = (
+                lowered.join(labside, lowered["labels"] == labside["lv"], "left")
+                .select(
+                    lowered["vertex"],
+                    F.coalesce(labside["ll"], lowered["labels"]).alias("labels"),
+                    lowered["old"],
+                )
+                .transform(truncate_plan)
+            )
 
         if not checking:
             # stay lazy: this superstep executes inside the next
-            # checking superstep's action
+            # checking superstep's action (no measured delta → the next
+            # superstep cannot go frontier)
             state = jumped.select("vertex", "labels")
+            last_changed = None
+            prev_full = None
             continue
 
         changed = (
@@ -278,7 +422,18 @@ def weakly_connected_components(
             # pagerank's chained-mode superstep_seconds
             superstep_seconds.append(_time.perf_counter() - _t0)
             _t0 = _time.perf_counter()
+        if probe is not None:
+            superstep_metrics.append(
+                {
+                    "iteration": it,
+                    "mode": "frontier" if use_frontier else "dense",
+                    "changed": int(changed),
+                    **probe.delta(),
+                }
+            )
         state = jumped.select("vertex", "labels")
+        prev_full = jumped
+        last_changed = int(changed)
 
         if checkpoint is not None and checkpoint_every and (it + 1) % checkpoint_every == 0:
             state = checkpoint.save(
@@ -289,6 +444,8 @@ def weakly_connected_components(
             break
 
     edges.unpersist()
+    if adj is not None:
+        adj.unpersist()
     if state is None:  # max_iter == 0: the identity labeling
         state = G.vertices().select(
             F.col("vertex").cast(id_t).alias("vertex"),

@@ -63,6 +63,59 @@ def test_wcc_min_iter_identical(spark):
         assert len(walls) == 6, kind
 
 
+@pytest.mark.parametrize("kind", ["tiny_social", "disjoint", "line", "hub"])
+def test_wcc_frontier_mode_identical(spark, kind):
+    """Frontier/delta supersteps (announce-only-changed + partial
+    pointer jump) must produce the exact dense-mode labels — forced on
+    from superstep 1 (huge threshold), at the auto threshold, and
+    forced off."""
+    edges = make_edges(kind)
+    G = Graph(edges_df(spark, edges), directed=False)
+    dense = _as_map(
+        weakly_connected_components(G, frontier_threshold=0).collect()
+    )
+    auto = _as_map(weakly_connected_components(G).collect())
+    forced = _as_map(
+        weakly_connected_components(G, frontier_threshold=10**9).collect()
+    )
+    assert dense == auto == forced
+    ref = wcc_ref(edges)
+    assert dense == {v: int(ref[v]) for v in sorted(dense)}
+
+
+def test_wcc_frontier_long_path_converges(spark):
+    """A diameter-heavy path under forced-frontier mode: the partial
+    jump only accelerates changed rows, so this exercises many frontier
+    supersteps; labels must still reach the exact fixpoint."""
+    p = [(i, i + 1, 1.0) for i in range(300)]
+    edges = p + [(b, a, w) for a, b, w in p]
+    G = Graph(edges_df(spark, edges), directed=False)
+    got = _as_map(
+        weakly_connected_components(G, frontier_threshold=10**9).collect()
+    )
+    assert got == {v: 0 for v in range(301)}
+
+
+@pytest.mark.parametrize("kind", ["tiny_social", "disjoint", "hub"])
+def test_lpa_frontier_mode_identical(spark, kind):
+    """Affected-set frontier supersteps recompute the argmax exactly
+    for vertices with a changed neighbor — labels must equal the dense
+    synchronous update iteration-for-iteration (checked at convergence
+    AND at a truncated budget, where any per-iteration divergence
+    would surface)."""
+    edges = make_edges(kind)
+    G = Graph(edges_df(spark, edges), directed=False)
+    for kw in ({"max_iter": 20}, {"max_iter": 3}):
+        dense = _as_map(
+            label_propagation(G, frontier_threshold=0, **kw).collect()
+        )
+        forced = _as_map(
+            label_propagation(G, frontier_threshold=10**9, **kw).collect()
+        )
+        auto = _as_map(label_propagation(G, **kw).collect())
+        assert dense == forced == auto, (kind, kw)
+
+
 def test_tc_packed_closing_leg_identical(spark, monkeypatch):
     """Force the mid-size closing-leg paths (packed-long broadcast and
     packed-long shuffle join) on small graphs; counts must match the
