@@ -30,14 +30,18 @@ hash-min — instead it recomputes the argmax EXACTLY, but only for
 superstep). Unaffected vertices see identical scores, hence identical
 argmax, hence identical labels — the frontier superstep is
 row-for-row equal to the dense synchronous update. Once the measured
-changed-count drops below ``frontier_threshold``, a superstep probes a
-lazily-built weighted adjacency cache (``groupBy(src).collect_list
-(struct(dst, w))`` — O(V) rows) twice: broadcast-delta → affected set,
-then affected → their full in-edge lists (symmetrized graph: in-edges
-of v are the reverses of v's out-edges, so one src-keyed adjacency
-serves both probes); the scores/argmax aggregations then run over
-frontier-incident edges instead of all E. The edges⋈state label join
-keeps the dense path's broadcast/shuffle-hash strategy.
+changed-count drops below ``frontier_threshold``, a superstep
+broadcast-probes the persisted edge cache twice (no pre-grouped
+adjacency build — its one-time O(E) shuffle would wash out the gain on
+low-diameter graphs; same reasoning as wcc.py): delta → affected dsts
+(probe on src), then affected → their full in-edge rows (probe on
+dst). The affected set's size is MEASURED (one cheap count action)
+before it is broadcast — above the broadcast budget the superstep
+falls back to dense, so no unbounded frame is ever broadcast. The
+scores/argmax aggregations then run over frontier-incident edges
+instead of all E, and the restricted-edges⋈state label join keeps the
+dense path's broadcast/shuffle-hash strategy (only the frontier-sized
+side exchanges).
 """
 
 from __future__ import annotations
@@ -85,9 +89,11 @@ def label_propagation(
 
     ``frontier_threshold``: changed-count at or below which supersteps
     switch to affected-set recomputation (module docstring) — identical
-    labels per iteration, cost tracking the frontier instead of O(E).
-    Default auto = ``max(1, min(V // 8, 4_000_000))``; ``0`` disables
-    (every superstep dense).
+    labels per iteration; join output, aggregations, and exchanges
+    shrink to frontier-incident size (the probe-only edge scan is the
+    remaining fixed cost). Default auto =
+    ``max(1, min(V // 8, 4_000_000))``; ``0`` disables (every
+    superstep dense).
 
     ``superstep_metrics``: pass a list to receive one dict per checking
     action with the MEASURED shuffle read/write byte deltas
@@ -140,25 +146,6 @@ def label_propagation(
         if frontier_threshold is None
         else int(frontier_threshold)
     )
-    adjw = None
-
-    def _adjacency():
-        # Built once, lazily, on the first frontier superstep: one O(E)
-        # groupBy(src) shuffle buys every later frontier superstep two
-        # O(V)-row probes in place of the O(E) message aggregation.
-        nonlocal adjw
-        if adjw is None:
-            adjw = (
-                edges.groupBy(SRC)
-                .agg(
-                    F.collect_list(
-                        F.struct(F.col(DST).alias("d"), F.col(WGT).alias("w"))
-                    ).alias("nbrs")
-                )
-                .persist(StorageLevel.MEMORY_AND_DISK)
-            )
-        return adjw
-
     last_changed: int | None = None
     prev_full = None  # (vertex, labels, old) of the last checked superstep
 
@@ -181,26 +168,25 @@ def label_propagation(
         )
         # (dst, label(src), w) → Σw per (dst,label) → argmax by (w, -label)
         if use_frontier:
-            # Affected set: every vertex with ≥1 changed neighbor. The
-            # symmetrized graph makes in-edges the reverses of
-            # out-edges, so the src-keyed adjacency serves both probes.
+            # Affected set: every vertex with ≥1 changed neighbor
+            # (broadcast-delta probe on src — no exchange, output
+            # frontier-sized). Its size is measured before broadcasting
+            # it back; above the budget this superstep goes dense.
             delta = prev_full.filter(F.col("labels") != F.col("old")).select(
                 F.col("vertex").alias("dv")
             )
             aff = (
-                _adjacency()
-                .join(F.broadcast(delta), F.col(SRC) == F.col("dv"))
-                .select(F.explode("nbrs").alias("nb"))
-                .select(F.col("nb.d").alias("av"))
+                edges.join(F.broadcast(delta), F.col(SRC) == F.col("dv"))
+                .select(F.col(DST).alias("av"))
                 .distinct()
             )
-            # Full in-edge lists of the affected vertices only — the
+            if aff.count() > 4_000_000:
+                use_frontier = False
+        if use_frontier:
+            # Full in-edge rows of the affected vertices only — the
             # argmax input is exact for them, absent for everyone else.
-            cand_e = (
-                _adjacency()
-                .join(aff.hint("shuffle_hash"), F.col(SRC) == F.col("av"))
-                .select(F.col(SRC).alias("a"), F.explode("nbrs").alias("nb"))
-                .select("a", F.col("nb.d").alias("u"), F.col("nb.w").alias("w"))
+            cand_e = edges.join(F.broadcast(aff), F.col(DST) == F.col("av")).select(
+                F.col(DST).alias("a"), F.col(SRC).alias("u"), F.col(WGT).alias("w")
             )
             lab = state.select(
                 F.col("vertex").alias("u2"), F.col("labels").alias("cand")
@@ -294,8 +280,6 @@ def label_propagation(
             break
 
     edges.unpersist()
-    if adjw is not None:
-        adjw.unpersist()
     if state is None:  # max_iter == 0: the identity labeling
         state = G.vertices().withColumn("labels", F.col("vertex"))
     return state.select("vertex", "labels")

@@ -24,12 +24,23 @@ Two physical strategies, same semantics (validated equal in tests):
   map-side partial aggregation (Spark's analog of the reference's
   ``reduce_op::plus`` shuffle combine).
 - ``mode="csr"``: the north-star architecture — edges hash-partitioned
-  into per-partition blocks, each superstep runs an Arrow-vectorized
-  cogrouped ``applyInPandas`` gather-scatter (numpy SpMV over the
-  partition's edge block, partial sums combined in-UDF) followed by a
-  shuffle-based ``(dst, partial)`` message exchange. This is the Spark
-  analog of cuGraph's per-edge-partition
-  ``per_v_transform_reduce_incoming_e`` + NCCL combine.
+  by ``pid = hash(src) % P`` into per-partition CSR blocks built ONCE
+  (sorted-unique src/dst dictionaries + int32 code arrays + weights,
+  written as mmap-able ``.npy`` files to a shared directory), then
+  each superstep ships ONLY the O(V) rank vector through the Python
+  boundary: a ``groupBy(pid).applyInPandas`` maps ranks onto the
+  block's src dictionary (one searchsorted) and runs the SpMV as a
+  single ``np.bincount`` over the dst codes — in-UDF partial combine —
+  followed by the shuffle-based ``(dst, partial)`` message exchange.
+  The O(E) side never crosses the Arrow boundary again after setup
+  (``np.load(mmap_mode='r')`` reads the page-cache-resident block),
+  the Spark analog of cuGraph keeping the CSR on-GPU across
+  iterations with ``per_v_transform_reduce_incoming_e`` + NCCL
+  combine. On a multi-node cluster ``block_dir`` must be a shared
+  filesystem (HDFS-fuse/NFS/EFS); executors that lack a block file
+  contribute nothing, which the setup job makes impossible on a
+  correct deployment because the writer and reader key on the same
+  Catalyst ``hash(src) % P`` expression.
 
 Scale notes: one Spark action per superstep (the combined
 L1-diff + next-dangling agg is the ``host_scalar_allreduce`` analog,
@@ -68,17 +79,76 @@ _EMPTY_PARTIAL = pd.DataFrame(
 )
 
 
-def _spmv(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-    """Per-partition gather-scatter: join ranks onto the edge block,
-    multiply, partial-combine by dst (numpy/pandas, Arrow in/out)."""
-    if len(left) == 0 or len(right) == 0:
-        return _EMPTY_PARTIAL
-    merged = left.merge(right, left_on="src", right_on="vertex", how="inner")
-    if len(merged) == 0:
-        return _EMPTY_PARTIAL
-    merged["contrib"] = merged["rank_div"].to_numpy() * merged["weight"].to_numpy()
-    out = merged.groupby("dst", as_index=False)["contrib"].sum()
-    return out[["dst", "contrib"]]
+def _csr_pack(block_dir: str):
+    """Block builder for mode='csr': one call per pid packs that
+    partition's edges into mmap-able arrays — sorted-unique src/dst
+    dictionaries, int32 code arrays, float64 weights — under
+    ``block_dir``. Runs ONCE at setup; every superstep after reads the
+    block zero-copy via ``np.load(mmap_mode='r')`` (OS page cache is
+    the cross-superstep residency, shared between worker processes)."""
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        import os
+
+        import numpy as np
+
+        pid = int(pdf["pid"].iloc[0])
+        src = pdf["src"].to_numpy(np.int64)
+        dst = pdf["dst"].to_numpy(np.int64)
+        w = pdf["weight"].to_numpy(np.float64)
+        su, sc = np.unique(src, return_inverse=True)
+        du, dc = np.unique(dst, return_inverse=True)
+        base = os.path.join(block_dir, str(pid))
+        np.save(base + ".su.npy", su)
+        np.save(base + ".sc.npy", sc.astype(np.int32))
+        np.save(base + ".du.npy", du)
+        np.save(base + ".dc.npy", dc.astype(np.int32))
+        np.save(base + ".w.npy", w)
+        return pd.DataFrame({"pid": [pid], "n": [len(src)]})
+
+    return pack
+
+
+def _csr_spmv(block_dir: str):
+    """Per-pid gather-scatter for mode='csr': map the incoming rank
+    vector onto the block's src dictionary (one searchsorted), then the
+    whole SpMV + in-UDF partial combine is a single ``np.bincount``
+    over the dst codes. Only O(V/P) ranks cross the Arrow boundary —
+    the O(E/P) block arrays are mmap'd from ``block_dir``."""
+
+    def spmv(pdf: pd.DataFrame) -> pd.DataFrame:
+        import os
+
+        import numpy as np
+
+        if len(pdf) == 0:
+            return _EMPTY_PARTIAL
+        base = os.path.join(block_dir, str(int(pdf["pid"].iloc[0])))
+        try:
+            su = np.load(base + ".su.npy", mmap_mode="r")
+        except FileNotFoundError:
+            return _EMPTY_PARTIAL  # pid with ranks but no edges
+        sc = np.load(base + ".sc.npy", mmap_mode="r")
+        du = np.load(base + ".du.npy", mmap_mode="r")
+        dc = np.load(base + ".dc.npy", mmap_mode="r")
+        w = np.load(base + ".w.npy", mmap_mode="r")
+        v = pdf["vertex"].to_numpy(np.int64)
+        r = pdf["rank_div"].to_numpy(np.float64)
+        order = np.argsort(v, kind="stable")
+        vs, rs = v[order], r[order]
+        pos = np.searchsorted(vs, su)
+        # every block src hashes to this pid so it must be present in
+        # the rank vector; the guard keeps a torn state from crashing
+        pos_c = np.minimum(pos, len(vs) - 1)
+        rank_per_src = np.where(vs[pos_c] == su, rs[pos_c], 0.0)
+        contrib = np.bincount(
+            np.asarray(dc),
+            weights=rank_per_src[np.asarray(sc)] * np.asarray(w),
+            minlength=len(du),
+        )
+        return pd.DataFrame({"dst": np.asarray(du), "contrib": contrib})
+
+    return spmv
 
 
 def pagerank(
@@ -98,6 +168,7 @@ def pagerank(
     resume: bool = False,
     superstep_seconds: list | None = None,
     chained: bool | None = None,
+    block_dir: str | None = None,
 ):
     """Returns DataFrame [vertex, pagerank]; with
     ``fail_on_nonconvergence=False`` returns (df, converged) like the
@@ -106,6 +177,11 @@ def pagerank(
     ``personalization`` / ``nstart``: DataFrames [vertex, values].
     ``tol=0.0`` runs exactly ``max_iter`` supersteps (never converges
     early) — used for fixed-iteration oracle parity.
+
+    ``block_dir`` (mode='csr' only): directory for the packed CSR
+    blocks — MUST be shared storage on a multi-node cluster; default a
+    fresh local temp dir (correct for local mode), cleaned up on
+    return.
 
     ``chained`` (default auto): fixed-iteration runs (tol == 0.0,
     dataframe mode, no checkpointing) carry the dangling mass as a
@@ -140,10 +216,25 @@ def pagerank(
             )
 
     # --- invariant side: edges + out-weight sums, partitioned once ---
+    block_cleanup = None
     if mode == "csr":
-        edges = (
-            G.edges.withColumn("pid", F.pmod(F.hash(F.col(SRC)), F.lit(P)))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+        # Pack per-pid CSR blocks ONCE (docstring above); supersteps
+        # never touch the edge frame again, so it is not persisted —
+        # the single ows aggregate below is its only other scan.
+        # block_dir must be shared storage on a multi-node cluster.
+        import tempfile
+
+        if block_dir is None:
+            block_dir = tempfile.mkdtemp(prefix="cugraph_pr_csr_")
+            block_cleanup = block_dir
+        edges = G.edges
+        (
+            edges.select(
+                F.pmod(F.hash(F.col(SRC)), F.lit(P)).alias("pid"), SRC, DST, WGT
+            )
+            .groupBy("pid")
+            .applyInPandas(_csr_pack(block_dir), schema="pid long, n long")
+            .count()  # one setup job: writes every block file
         )
     else:
         e = G.edges if G.partitioned_on(SRC) else G.edges.repartition(P, SRC)
@@ -219,12 +310,13 @@ def pagerank(
         )
 
         if mode == "csr":
+            # only the O(V) rank vector crosses the Python boundary;
+            # the writer and this reader key on the same Catalyst
+            # hash(·) % P expression, so ranks land on their block
             ranks_parted = rank_div.withColumn(
                 "pid", F.pmod(F.hash(F.col("vertex")), F.lit(P)))
-            partials = (
-                edges.groupBy("pid")
-                .cogroup(ranks_parted.groupBy("pid"))
-                .applyInPandas(_spmv, schema="dst long, contrib double")
+            partials = ranks_parted.groupBy("pid").applyInPandas(
+                _csr_spmv(block_dir), schema="dst long, contrib double"
             )
             contribs = partials.groupBy(DST).agg(F.sum("contrib").alias("contrib"))
         else:
@@ -350,8 +442,15 @@ def pagerank(
         # first action, recomputing the O(E) edge shuffle every superstep
         state = truncate_plan(state.select("vertex", "ows", "rank"), eager=True)
     result = state.select("vertex", F.col("rank").alias("pagerank"))
-    edges.unpersist()
+    if mode != "csr":
+        edges.unpersist()
     vstate.unpersist()
+    if block_cleanup is not None:
+        # the final state RDD is already materialized (every csr
+        # superstep ends in an action), so the blocks can go
+        import shutil
+
+        shutil.rmtree(block_cleanup, ignore_errors=True)
     if not converged and fail_on_nonconvergence and tol > 0.0:
         raise FailedToConvergeError(
             f"PageRank did not converge to tol={tol} within {max_iter} iterations")

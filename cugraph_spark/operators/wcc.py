@@ -30,12 +30,16 @@ announces all labels, and every change (lower or jump) lands in the
 ``labels != old`` delta, so the announce-invariant holds at any
 dense↔frontier switch point and ``changed == 0`` remains a true
 fixpoint test. When the measured delta drops below
-``frontier_threshold`` the superstep switches to: probe a lazily-built
-adjacency cache (``groupBy(src).collect_list(dst)`` — O(V) rows, built
-once on first use) with the broadcast delta, explode only the matched
-neighbor lists, and aggregate frontier-sized messages — an O(V)-row
-probe whose work tracks |frontier edges| instead of the O(E)-row
-rescan+aggregation the dense superstep pays. The pointer jump runs
+``frontier_threshold`` the superstep switches to: probe the persisted
+edge cache with the BROADCAST delta (a hash probe on the src column —
+no exchange in any layout, no join output and no aggregation input for
+non-frontier edges), so the expensive terms (join materialization, the
+message aggregation, every exchange) shrink to |frontier edges|. The
+remaining fixed cost is the O(E) probe scan itself — deliberately
+chosen over a pre-grouped adjacency cache, whose one-time O(E)
+groupBy build would wash out the gain on low-diameter graphs that
+leave only 2-4 frontier supersteps after the dense phase (the A/B in
+BENCH/BASELINE.md round 4 measures both terms). The pointer jump runs
 PARTIALLY (only rows changed this superstep look up label(label)) —
 dropping the jump for unchanged rows costs acceleration, never
 correctness, because hash-min alone converges and jump-induced changes
@@ -127,9 +131,9 @@ def weakly_connected_components(
     below this, supersteps switch to frontier/delta messaging (module
     docstring) whose cost tracks the frontier size instead of O(E).
     Default auto = ``max(1, min(V // 8, 4_000_000))`` (the broadcast
-    delta must stay executor-memory-small; the V//8 knee is where the
-    frontier plan's fixed O(V) probe beats the dense plan's O(E)
-    rescan — A/B on RMAT in BENCH/BASELINE.md round 4). ``0`` disables
+    delta must stay executor-memory-small; below ~V/8 changed vertices
+    the frontier plan's probe-only scan beats the dense plan's full
+    join+aggregation — A/B on RMAT in BENCH/BASELINE.md round 4). ``0`` disables
     frontier mode entirely (every superstep dense — the round-3 plan).
 
     ``superstep_metrics``: pass a list to receive one dict per checking
@@ -243,23 +247,6 @@ def weakly_connected_components(
         if frontier_threshold is None
         else int(frontier_threshold)
     )
-    adj = None
-
-    def _adjacency():
-        # Built ONCE, lazily, the first superstep that goes frontier:
-        # one O(E) groupBy(src) shuffle (≈ the exchange a single dense
-        # superstep's aggregation would have paid) buys every later
-        # frontier superstep an O(V)-row probe in place of the O(E)
-        # rescan. Hash-partitioned on src by its own groupBy.
-        nonlocal adj
-        if adj is None:
-            adj = (
-                edges.groupBy(SRC)
-                .agg(F.collect_list(DST).alias("nbrs"))
-                .persist(StorageLevel.MEMORY_AND_DISK)
-            )
-        return adj
-
     last_changed: int | None = None  # measured delta size (checking steps)
     prev_full = None  # (vertex, labels, old) of the last checked superstep
 
@@ -283,18 +270,17 @@ def weakly_connected_components(
         )
         if use_frontier:
             # Frontier superstep: only last round's changed vertices
-            # announce. Probe the adjacency cache with the broadcast
-            # delta (|delta| ≤ fthr ≤ 4M rows), explode only matched
-            # neighbor lists → frontier-sized messages; the state-side
-            # joins keep the dense path's co-partitioned shuffle-hash
-            # shape (only the frontier-sized side ever exchanges).
+            # announce. Broadcast-probe the persisted edge cache with
+            # the delta (|delta| ≤ fthr ≤ 4M rows) — no exchange in any
+            # layout; join output, aggregation, and every state-side
+            # exchange are frontier-sized (the dense path's
+            # co-partitioned shuffle-hash shape is kept, so only the
+            # frontier-sized side ever moves).
             delta = prev_full.filter(F.col("labels") != F.col("old")).select(
                 F.col("vertex").alias("dv"), F.col("labels").alias("dl")
             )
             msgs = (
-                _adjacency()
-                .join(F.broadcast(delta), F.col(SRC) == F.col("dv"))
-                .select(F.explode("nbrs").alias(DST), F.col("dl"))
+                edges.join(F.broadcast(delta), F.col(SRC) == F.col("dv"))
                 .groupBy(DST)
                 .agg(F.min("dl").alias("nbr_min"))
             )
@@ -444,8 +430,6 @@ def weakly_connected_components(
             break
 
     edges.unpersist()
-    if adj is not None:
-        adj.unpersist()
     if state is None:  # max_iter == 0: the identity labeling
         state = G.vertices().select(
             F.col("vertex").cast(id_t).alias("vertex"),
