@@ -17,10 +17,14 @@ CUDA pipeline ``community/triangle_count_impl.cuh``, 535 LoC):
    (u, v, w) gets +1;
 5. scatter counts back over all vertices (0 for triangle-free).
 
-The reference's 2-core pruning (:360-402) and start_list 2-hop masking
-(:182-337) are pure optimizations; ``start_list`` filtering is applied
-on the *result* here (identical output contract,
-triangle_count.py:45-122 docs).
+The reference's 2-core pruning (:360-402) is a pure optimization
+(prune_rounds below). ``start_list`` follows the reference's
+neighborhood masking (:182-337): every triangle containing a start
+vertex s has all three corners inside the closed 1-hop neighborhood
+N[s] — the third edge joins two neighbors of s — so the whole pipeline
+runs on the induced subgraph over N[start_list] (edge span = the
+2-hop ball of the start set) and the per-start counts are exact while
+the oriented self-join input scales with |2-hop(start)|, not |E|.
 
 Scale notes: the oriented edge list is materialized once; the two joins
 shuffle on single vertex keys with bounded fan-out √E. Total triangles
@@ -69,7 +73,9 @@ def _prune_low_degree(und: DataFrame, rounds: int) -> DataFrame:
     return und
 
 
-def _oriented_edges(G: Graph, prune_rounds: int = 0) -> DataFrame:
+def _oriented_edges(
+    G: Graph, prune_rounds: int = 0, keep_vertices: DataFrame | None = None
+) -> DataFrame:
     """Undirected simple edges oriented low-(degree,id) → high.
 
     Vertex ids are compacted to int32 when they fit (the reference's
@@ -79,8 +85,16 @@ def _oriented_edges(G: Graph, prune_rounds: int = 0) -> DataFrame:
     bytes every one of those shuffles and probes moves. Callers cast
     the final vertex columns back to long (output schema unchanged).
     One pre-scan bounds agg (column-pruned, before the distinct) pays
-    for itself many times over at any real size."""
+    for itself many times over at any real size.
+
+    ``keep_vertices`` (one column ``v``): restrict to the induced
+    subgraph on that vertex set BEFORE the distinct/degree/orientation
+    work — the start_list neighborhood mask."""
     pre = G.edges.select(SRC, DST).filter(F.col(SRC) < F.col(DST))
+    if keep_vertices is not None:
+        pre = pre.join(
+            keep_vertices.withColumnRenamed("v", SRC), SRC, "left_semi"
+        ).join(keep_vertices.withColumnRenamed("v", DST), DST, "left_semi")
     stats = G.cached_vertex_stats()
     if stats is not None:
         # a warm Graph.vertex_stats memo (V is table metadata on a real
@@ -199,9 +213,33 @@ def triangle_count(
     triangle_count.py:45-122). Requires undirected non-multi graph.
     ``prune_rounds``: degree-≤1 peeling rounds before orientation (the
     reference's 2-core pruning, :360-402) — pure optimization, counts
-    identical."""
+    identical.
+
+    ``start_list``: counts returned for these vertices only. The input
+    graph is MASKED to the induced subgraph on the closed 1-hop
+    neighborhood of the start set before any triangle work (module
+    docstring — per-start counts provably unchanged), so cost scales
+    with the start set's 2-hop ball, not |E|."""
     if G.directed:
         raise ValueError("triangle_count requires an undirected graph")
+
+    keep = None
+    if start_list is not None:
+        sl = start_list.select(
+            F.col(start_list.columns[0]).alias("vertex")
+        ).distinct()
+        # closed 1-hop neighborhood N[S]: the graph is symmetrized, so
+        # neighbors(S) = dst of edges with src ∈ S. Start lists are
+        # root sets (reference API) — broadcast-probe the edge cache.
+        keep = (
+            G.edges.join(
+                F.broadcast(sl), G.edges[SRC] == sl["vertex"], "left_semi"
+            )
+            .select(F.col(DST).alias("v"))
+            .unionByName(sl.select(F.col("vertex").alias("v")))
+            .distinct()
+            .transform(truncate_plan)
+        )
 
     # persist + run the triangle job EAGERLY while the cache is live,
     # then return the materialized O(V) counts. The live cache is the
@@ -209,7 +247,9 @@ def triangle_count(
     # (measured 2.8 s vs 17.6 s recompute-per-leg and 15.2 s via a
     # lazy localCheckpoint, sf0.1 K1000 graph) — and an unpersist
     # before the caller's action would void it, so the job runs here.
-    o = _oriented_edges(G, prune_rounds).persist(StorageLevel.MEMORY_AND_DISK)
+    o = _oriented_edges(G, prune_rounds, keep_vertices=keep).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     tri = _tri_join(o, o.count())  # count doubles as cache materialization
 
     # ONE pass over the closing join: explode each triangle into its 3

@@ -421,6 +421,36 @@ ON vt.vertex = c.vertex
 """
 
 
+def q_triangle_count_start(spark, sf_dir):
+    """start_list path: the operator masks the graph to the closed
+    1-hop neighborhood of the start set (cost ∝ |2-hop(start)|, not
+    |E| — triangle_count_impl.cuh:182-337); the oracle counts over the
+    FULL graph and then filters, so the gate proves the mask loses no
+    triangle incident to a start vertex."""
+    e = edges_ss(spark, sf_dir)
+    G = Graph(e, directed=False, weighted=True)
+    sl = G.vertices().filter(F.col("vertex") % 41 == 0)
+    return triangle_count(G, start_list=sl)
+
+
+Q_TRIANGLE_START_SQL = f"""
+WITH e AS ({EDGES_SS_SQL}),
+und AS (SELECT src AS a, dst AS b FROM e),
+tri AS (
+    SELECT e1.a AS u, e1.b AS v, e2.b AS w
+    FROM und e1 JOIN und e2 ON e1.b = e2.a JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+corners AS (
+    SELECT u AS vertex FROM tri UNION ALL SELECT v FROM tri UNION ALL SELECT w FROM tri
+),
+verts AS (SELECT a AS vertex FROM und UNION SELECT b FROM und)
+SELECT vt.vertex, CAST(COALESCE(c.n, 0) AS BIGINT) AS counts
+FROM verts vt LEFT JOIN (SELECT vertex, COUNT(*) AS n FROM corners GROUP BY vertex) c
+ON vt.vertex = c.vertex
+WHERE vt.vertex % 41 = 0
+"""
+
+
 def q_edge_triangle_count(spark, sf_dir):
     e = edges_ss(spark, sf_dir)
     G = Graph(e, directed=False, weighted=True)
@@ -2310,6 +2340,7 @@ def queries():
         "wcc": q_wcc,
         "lpa2": q_lpa,
         "triangle_count": q_triangle_count,
+        "triangle_count_start": q_triangle_count_start,
         "edge_triangle_count": q_edge_triangle_count,
         "jaccard": q_jaccard,
         "jaccard_w": q_jaccard_w,
@@ -2367,6 +2398,7 @@ def oracle_sql():
         "wcc": Q_WCC_SQL,
         "lpa2": _lpa_sql(EDGES_NATION_SQL, LPA_ITERS),
         "triangle_count": Q_TRIANGLE_SQL,
+        "triangle_count_start": Q_TRIANGLE_START_SQL,
         "edge_triangle_count": Q_EDGE_TRIANGLE_SQL,
         "jaccard": Q_JACCARD_SQL,
         "jaccard_w": Q_JACCARD_W_SQL,
