@@ -4,7 +4,8 @@ A 100 TB training-data pipeline carries media as ``binary`` columns
 with a typed metadata struct; decode / feature-extract / resize /
 frame-sample run as Arrow-batched pandas functions over
 ``mapInPandas``. Decode modes: ``'auto'`` runs the REAL kernels
-(Pillow for image/*, soundfile for audio/*) wherever those libraries
+(Pillow for image/*, soundfile for audio/*, PyAV or imageio-ffmpeg
+for video/*) wherever those libraries
 import on the executors and falls back to a deterministic
 bytes→feature hash elsewhere; ``'strict'`` raises instead of falling
 back; ``'fake'`` always uses the stand-in (plumbing tests). This
@@ -87,6 +88,13 @@ def codec_available(kind: str) -> bool:
         if kind == "audio":
             import soundfile  # noqa: F401
             return True
+        if kind == "video":
+            try:
+                import av  # noqa: F401
+                return True
+            except ImportError:
+                import imageio_ffmpeg  # noqa: F401
+                return True
     except ImportError:
         return False
     return False
@@ -123,6 +131,85 @@ def _real_decode_audio(data: bytes, n_features: int) -> np.ndarray:
         [float(np.sqrt(np.mean(s * s))) if len(s) else 0.0 for s in segs],
         dtype=np.float32,
     )
+
+
+def _downsample_gray(arr: np.ndarray, n_features: int) -> np.ndarray:
+    """Block-mean downsample a 2-D grayscale array to ~n_features cells
+    (the Pillow-free analog of the image recipe). Deterministic."""
+    side = int(np.ceil(np.sqrt(n_features)))
+    h, w = arr.shape[:2]
+    ys = np.array_split(np.arange(h), side)
+    xs = np.array_split(np.arange(w), side)
+    out = np.empty(side * side, dtype=np.float32)
+    k = 0
+    for yb in ys:
+        for xb in xs:
+            block = arr[yb[0]: yb[-1] + 1, xb[0]: xb[-1] + 1]
+            out[k] = float(block.mean()) / 255.0 if block.size else 0.0
+            k += 1
+    return out[:n_features]
+
+
+def _real_sample_frames(
+    data: bytes, every_ms: int, n_features: int
+) -> list[np.ndarray]:
+    """Real video frame sampling via an importable ffmpeg binding —
+    PyAV (in-memory demux) preferred, imageio-ffmpeg (temp-file +
+    ffmpeg pipe) fallback. One grayscale block-mean feature vector per
+    sampled timestamp (0, every_ms, 2·every_ms, … over the ACTUAL
+    stream duration; always ≥1 frame). Deterministic: fixed sampling
+    grid, no RNG."""
+    import io
+
+    try:
+        import av
+
+        frames: list[np.ndarray] = []
+        with av.open(io.BytesIO(data)) as container:
+            stream = container.streams.video[0]
+            tb = float(stream.time_base) if stream.time_base else 0.0
+            next_t = 0.0
+            for frame in container.decode(stream):
+                t_ms = (
+                    float(frame.pts) * tb * 1000.0
+                    if (frame.pts is not None and tb)
+                    else next_t
+                )
+                if t_ms + 1e-6 >= next_t:
+                    arr = frame.to_ndarray(format="gray").astype(np.float32)
+                    frames.append(_downsample_gray(arr, n_features))
+                    next_t += every_ms
+        return frames
+    except ImportError:
+        pass
+
+    import os
+    import tempfile
+
+    import imageio_ffmpeg
+
+    fd, path = tempfile.mkstemp(suffix=".mp4")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+        gen = imageio_ffmpeg.read_frames(path)
+        meta = next(gen)
+        fps = float(meta.get("fps") or 0.0) or 25.0
+        w, h = meta["size"]
+        step = max(int(round(fps * every_ms / 1000.0)), 1)
+        frames = []
+        for idx, buf in enumerate(gen):
+            if idx % step == 0:
+                arr = (
+                    np.frombuffer(buf, dtype=np.uint8)
+                    .reshape(h, w, 3)
+                    .mean(axis=2)
+                    .astype(np.float32)
+                )
+                frames.append(_downsample_gray(arr, n_features))
+        return frames
+    finally:
+        os.unlink(path)
 
 
 def _decode_one(data: bytes, mime: str, n_features: int, decode: str) -> np.ndarray:
@@ -317,19 +404,25 @@ def sample_frames(
     n_features: int = 8,
     decode: str = "fake",
 ) -> DataFrame:
-    """Frame sampling stub for video: emits one feature row per sampled
-    timestamp (duration_ms // every_ms rows, ≥1), features from the
-    deterministic fake decoder keyed by (payload, frame index). The
-    explode/batch shape matches a real frame sampler. Video decode
-    needs an ffmpeg binding no environment here provides, so
-    ``decode='auto'`` always takes the deterministic fallback and
-    ``'strict'`` raises."""
+    """Frame sampling for video: one feature row per sampled timestamp.
+
+    ``decode='auto'``: REAL decode (PyAV or imageio-ffmpeg, whichever
+    imports on the executor — ``_real_sample_frames``) sampling the
+    actual stream every ``every_ms``; deterministic fallback where no
+    binding imports or a payload fails to demux. ``decode='strict'``:
+    real decode or raise (NotImplementedError where no binding is
+    importable — e.g. this repo's CI container, whose test is
+    skip-if). ``decode='fake'``: the deterministic stand-in — one row
+    per metadata timestamp (duration_ms // every_ms rows, ≥1),
+    features keyed by (payload sha, frame index); the explode/batch
+    shape matches the real sampler."""
     if decode not in ("fake", "strict", "auto"):
         raise ValueError(decode)
-    if decode == "strict":
+    if decode == "strict" and not codec_available("video"):
         raise NotImplementedError(
-            "video frame sampling requires an ffmpeg binding; use "
-            "decode='auto' (deterministic fallback) or decode='fake'"
+            "video frame sampling requires an ffmpeg binding (PyAV or "
+            "imageio-ffmpeg), neither importable in this environment; "
+            "use decode='auto' (deterministic fallback) or decode='fake'"
         )
     src = df.select(
         F.col(id_col).alias("id"),
@@ -338,16 +431,33 @@ def sample_frames(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # re-probe per executor (driver probe can differ from worker
+        # env — same contract as resize_images)
+        real = decode in ("auto", "strict") and codec_available("video")
         for pdf in batches:
             ids, frames, feats = [], [], []
             for i, d, dur in zip(pdf["id"], pdf["data"], pdf["dur"]):
-                n = max(int(dur) // every_ms, 1)
-                for fidx in range(n):
+                payload = bytes(d)
+                vecs = None
+                if real:
+                    try:
+                        vecs = _real_sample_frames(payload, every_ms, n_features)
+                    except Exception:
+                        if decode == "strict":
+                            raise
+                        vecs = None  # undecodable payload → fallback
+                if not vecs:
+                    n = max(int(dur) // every_ms, 1)
+                    vecs = [
+                        _fake_decode(
+                            payload + fidx.to_bytes(4, "big"), n_features
+                        )
+                        for fidx in range(n)
+                    ]
+                for fidx, vec in enumerate(vecs):
                     ids.append(i)
                     frames.append(fidx)
-                    feats.append(
-                        _fake_decode(bytes(d) + fidx.to_bytes(4, "big"), n_features).tolist()
-                    )
+                    feats.append(vec.tolist())
             yield pd.DataFrame({"id": ids, "frame": frames, "features": feats})
 
     out = src.mapInPandas(run, schema="id long, frame int, features array<float>")

@@ -182,6 +182,14 @@ def betweenness_centrality(
     ``normalized``: divide by (V-1)(V-2) for directed graphs /
     ((V-1)(V-2))/2 undirected (reference semantics); sampled runs also
     scale by V/#sources like the reference estimator.
+
+    Sampled-accuracy contract (Brandes & Pich 2007; Hoeffding 1963,
+    which covers the without-replacement hash subset used here): each
+    per-source normalized dependency lies in [0, V/(V−1)], so
+    ``max_v |est − exact| ≤ sqrt(ln(2V/δ)/(2k)) · V/(V−1)`` with
+    probability ≥ 1−δ — asserted by
+    ``test_sampled_betweenness_error_bound``. k=V reproduces exact
+    Brandes bit-for-bit (scale V/k = 1).
     """
     acc, verts, edges, V, n_sources = _brandes(
         G, k, sources, seed, num_partitions, per_edge=False

@@ -155,6 +155,9 @@ def label_propagation(
 
         probe = ShuffleProbe(spark)
 
+    import time as _time
+
+    _t0 = _time.perf_counter()
     for it in range(start_iter, max_iter):
         use_frontier = (
             fthr > 0
@@ -191,9 +194,14 @@ def label_propagation(
             lab = state.select(
                 F.col("vertex").alias("u2"), F.col("labels").alias("cand")
             )
-            lside = vertex_join_side(lab, V, limit=blimit)
+            # label lookup for the frontier-incident srcs only: STREAM
+            # the state (it stays partitioned on vertex — zero
+            # exchange) and shuffle-hash-build over the frontier-sized
+            # cand_e side. The dense path's per-superstep O(V) state
+            # broadcast is exactly the cost this avoids — at RMAT-23
+            # it dominated the frontier superstep wall (round-4 A/B).
             scores = (
-                cand_e.join(lside, F.col("u") == F.col("u2"))
+                lab.join(cand_e.hint("shuffle_hash"), F.col("u2") == F.col("u"))
                 .select(F.col("a").alias(DST), "cand", "w")
                 .groupBy(F.col(DST), F.col("cand"))
                 .agg(F.sum("w").alias("w"))
@@ -230,7 +238,16 @@ def label_propagation(
         else:
             new_full = (
                 state.join(
-                    best.hint("shuffle_hash"), state["vertex"] == best[DST], "left"
+                    # frontier supersteps in broadcast-state mode
+                    # broadcast the (affected-sized, ≤ V rows — the
+                    # dense path's own state-broadcast budget) update so
+                    # the O(V) state never moves; otherwise the
+                    # co-partitioned shuffle-hash shape
+                    F.broadcast(best)
+                    if (use_frontier and bcast)
+                    else best.hint("shuffle_hash"),
+                    state["vertex"] == best[DST],
+                    "left",
                 )
                 .select(
                     state["vertex"],
@@ -264,9 +281,11 @@ def label_propagation(
                     "iteration": it,
                     "mode": "frontier" if use_frontier else "dense",
                     "changed": int(changed),
+                    "seconds": round(_time.perf_counter() - _t0, 3),
                     **probe.delta(),
                 }
             )
+        _t0 = _time.perf_counter()
         state = new_full.select("vertex", "labels")
         prev_full = new_full
         last_changed = int(changed)

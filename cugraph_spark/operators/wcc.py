@@ -284,8 +284,18 @@ def weakly_connected_components(
                 .groupBy(DST)
                 .agg(F.min("dl").alias("nbr_min"))
             )
+            # In broadcast-state mode every frontier-side frame (msgs,
+            # ch, jmap — each ≤ V rows, the same budget class as the
+            # state broadcast the dense path pays every superstep)
+            # broadcasts, so the O(V) state never moves and the whole
+            # frontier superstep is exchange-free (measured in
+            # superstep_metrics). Above the cutover keep the
+            # co-partitioned shuffle-hash shape.
+            def _fside(small):
+                return F.broadcast(small) if bcast else small.hint("shuffle_hash")
+
             lowered_f = state.join(
-                msgs.hint("shuffle_hash"), state["vertex"] == msgs[DST], "left"
+                _fside(msgs), state["vertex"] == msgs[DST], "left"
             ).select(
                 state["vertex"],
                 F.least(
@@ -308,11 +318,11 @@ def weakly_connected_components(
                 F.col("vertex").alias("lv"), F.col("labels").alias("ll")
             )
             jmap = lk.join(
-                ch.hint("shuffle_hash"), F.col("lv") == F.col("cl")
+                _fside(ch), F.col("lv") == F.col("cl")
             ).select(F.col("cv"), F.col("ll").alias("jl"))
             jumped = (
                 low_cp.join(
-                    jmap.hint("shuffle_hash"),
+                    _fside(jmap),
                     low_cp["vertex"] == F.col("cv"),
                     "left",
                 )
@@ -402,18 +412,20 @@ def weakly_connected_components(
             )
             .first()["c"]
         )
+        _step_wall = _time.perf_counter() - _t0
+        _t0 = _time.perf_counter()
         if superstep_seconds is not None:
             # wall of the checking action (covers the k batched lazy
             # supersteps since the previous check) — same contract as
             # pagerank's chained-mode superstep_seconds
-            superstep_seconds.append(_time.perf_counter() - _t0)
-            _t0 = _time.perf_counter()
+            superstep_seconds.append(_step_wall)
         if probe is not None:
             superstep_metrics.append(
                 {
                     "iteration": it,
                     "mode": "frontier" if use_frontier else "dense",
                     "changed": int(changed),
+                    "seconds": round(_step_wall, 3),
                     **probe.delta(),
                 }
             )

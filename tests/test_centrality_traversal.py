@@ -177,6 +177,45 @@ def test_jaccard_pairs_isolated_endpoint_and_multiplicity(spark):
     assert wmap[(1, 99)] == 0.0
 
 
+def test_sampled_betweenness_error_bound(spark):
+    """Accuracy contract for the sampled estimator (Brandes & Pich
+    2007; Hoeffding 1963, which also covers sampling WITHOUT
+    replacement — the seeded-hash top-k subset used here): each
+    per-source normalized dependency lies in [0, V/(V-1)], so with k
+    uniform sources
+
+        max_v |est(v) − exact(v)| ≤ sqrt(ln(2V/δ)/(2k)) · V/(V−1)
+
+    with probability ≥ 1−δ. Checked at δ=0.01 over two graphs ×
+    several fixed seeds (deterministic given the seed), plus the k=V
+    degenerate case, which must equal exact Brandes bit-for-bit."""
+    import math
+
+    from cugraph_spark.operators.betweenness import betweenness_centrality
+
+    for kind in ("tiny_social", "disjoint"):
+        edges = make_edges(kind)
+        G = Graph(edges_df(spark, edges), directed=False)
+        exact = {
+            r["vertex"]: r["betweenness_centrality"]
+            for r in betweenness_centrality(G).collect()
+        }
+        V = len(exact)
+        full = {
+            r["vertex"]: r["betweenness_centrality"]
+            for r in betweenness_centrality(G, k=V).collect()
+        }
+        assert full == exact, kind
+        for k, seed in ((V // 2, 1), (V // 2, 7), (V // 4, 3)):
+            est = {
+                r["vertex"]: r["betweenness_centrality"]
+                for r in betweenness_centrality(G, k=k, seed=seed).collect()
+            }
+            bound = math.sqrt(math.log(2 * V / 0.01) / (2 * k)) * V / (V - 1)
+            worst = max(abs(est[v] - exact[v]) for v in exact)
+            assert worst <= bound, (kind, k, seed, worst, bound)
+
+
 def test_betweenness_matches_oracle_directed(spark):
     from cugraph_spark.operators.betweenness import betweenness_centrality
     from .oracles import betweenness_ref

@@ -305,6 +305,75 @@ def test_sample_frames(spark):
     assert sorted(r["frame"] for r in frames) == [0, 1, 2]
 
 
+def test_sample_frames_strict_requires_binding(spark):
+    """decode='strict' must raise where no ffmpeg binding imports (the
+    honesty contract for this codec-free container); where one DOES
+    import, strict is exercised by the real-decode test below."""
+    from cugraph_spark.functions.multimodal import codec_available
+
+    if codec_available("video"):
+        pytest.skip("an ffmpeg binding is importable here")
+    df = attach_media(
+        spark.createDataFrame([(1, b"videodata")], "doc_id long, raw binary"),
+        "raw", "video/mp4", duration_ms=2000,
+    )
+    with pytest.raises(NotImplementedError):
+        sample_frames(df, decode="strict")
+
+
+def test_multimodal_real_video_decode(spark, tmp_path):
+    """Real ffmpeg-binding kernel (PyAV or imageio-ffmpeg) — synthesize
+    a tiny mp4 with whichever binding imports, then sample frames from
+    the ACTUAL stream (skipped in codec-free containers, mirroring the
+    Pillow/soundfile skip-if tests)."""
+    import numpy as np
+
+    from cugraph_spark.functions.multimodal import codec_available
+
+    if not codec_available("video"):
+        pytest.skip("no ffmpeg binding importable in this environment")
+
+    # 2-second 4fps 32x16 gradient clip via whichever binding exists
+    frames = [
+        (np.full((16, 32, 3), 30 * i, dtype=np.uint8)) for i in range(8)
+    ]
+    path = str(tmp_path / "tiny.mp4")
+    try:
+        import av
+
+        with av.open(path, "w") as container:
+            stream = container.add_stream("mpeg4", rate=4)
+            stream.width, stream.height = 32, 16
+            stream.pix_fmt = "yuv420p"
+            for arr in frames:
+                frame = av.VideoFrame.from_ndarray(arr, format="rgb24")
+                for pkt in stream.encode(frame):
+                    container.mux(pkt)
+            for pkt in stream.encode():
+                container.mux(pkt)
+    except ImportError:
+        import imageio_ffmpeg
+
+        writer = imageio_ffmpeg.write_frames(path, (32, 16), fps=4)
+        writer.send(None)
+        for arr in frames:
+            writer.send(arr.tobytes())
+        writer.close()
+
+    data = open(path, "rb").read()
+    df = attach_media(
+        spark.createDataFrame([(1, data)], "doc_id long, raw binary"),
+        "raw", "video/mp4", width=32, height=16, duration_ms=2000,
+    )
+    out = sample_frames(df, every_ms=1000, n_features=4, decode="strict").collect()
+    # 2 s clip sampled every 1 s → 2 frames (timestamps 0 and 1000 ms)
+    assert len(out) == 2
+    assert sorted(r["frame"] for r in out) == [0, 1]
+    for r in out:
+        assert len(r["features"]) == 4
+        assert all(0.0 <= f <= 1.0 for f in r["features"])
+
+
 def test_cosine_topk_separate_query_id_space(spark):
     """With query_id_col declaring a separate id space, a corpus vector
     whose id numerically equals a query id must NOT be dropped as a
