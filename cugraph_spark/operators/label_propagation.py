@@ -148,6 +148,8 @@ def label_propagation(
     )
     last_changed: int | None = None
     prev_full = None  # (vertex, labels, old) of the last checked superstep
+    deg = None  # lazily-built in-degree frame for the frontier guard
+    n_edges = 0
 
     probe = None
     if superstep_metrics is not None:
@@ -173,8 +175,21 @@ def label_propagation(
         if use_frontier:
             # Affected set: every vertex with ≥1 changed neighbor
             # (broadcast-delta probe on src — no exchange, output
-            # frontier-sized). Its size is measured before broadcasting
-            # it back; above the budget this superstep goes dense.
+            # frontier-sized). ONE measuring action gates the plan on
+            # BOTH terms that could blow it up: |affected| (it gets
+            # broadcast back) and Σ degree(affected) — the exact row
+            # count of the in-edge fetch below, whose shuffle-hash
+            # build dies on ~E-sized inputs (a frontier of 400k
+            # vertices on RMAT-23 reaches ~all of E through the hubs;
+            # measured OOM in the round-4 A/B before this guard).
+            # Above either budget the superstep falls back to dense.
+            if deg is None:
+                deg = (
+                    edges.groupBy(DST)
+                    .agg(F.count("*").alias("cnt"))
+                    .persist(StorageLevel.MEMORY_AND_DISK)
+                )
+                n_edges = edges.count()
             delta = prev_full.filter(F.col("labels") != F.col("old")).select(
                 F.col("vertex").alias("dv")
             )
@@ -182,8 +197,14 @@ def label_propagation(
                 edges.join(F.broadcast(delta), F.col(SRC) == F.col("dv"))
                 .select(F.col(DST).alias("av"))
                 .distinct()
+                .transform(truncate_plan)
             )
-            if aff.count() > 4_000_000:
+            stats = aff.join(deg, aff["av"] == deg[DST]).agg(
+                F.count("*").alias("n_aff"), F.sum("cnt").alias("n_cand")
+            ).first()
+            n_aff = int(stats["n_aff"] or 0)
+            n_cand = int(stats["n_cand"] or 0)
+            if n_aff > 4_000_000 or n_cand > min(n_edges // 8, 32_000_000):
                 use_frontier = False
         if use_frontier:
             # Full in-edge rows of the affected vertices only — the
@@ -299,6 +320,8 @@ def label_propagation(
             break
 
     edges.unpersist()
+    if deg is not None:
+        deg.unpersist()
     if state is None:  # max_iter == 0: the identity labeling
         state = G.vertices().withColumn("labels", F.col("vertex"))
     return state.select("vertex", "labels")
