@@ -92,8 +92,8 @@ def label_propagation(
     labels per iteration; join output, aggregations, and exchanges
     shrink to frontier-incident size (the probe-only edge scan is the
     remaining fixed cost). Default auto =
-    ``max(1, min(V // 8, 4_000_000))``; ``0`` disables (every
-    superstep dense).
+    ``max(1, min(V // 64, 4_000_000))`` (rationale on the constant);
+    ``0`` disables (every superstep dense).
 
     ``superstep_metrics``: pass a list to receive one dict per checking
     action with the MEASURED shuffle read/write byte deltas
@@ -141,8 +141,14 @@ def label_propagation(
         start_iter = meta["iteration"] + 1
 
     # --- frontier/delta machinery (module docstring) ---------------
+    # Auto threshold V/64 (vs WCC's V/8): LPA's frontier cost is the
+    # 2-hop term Σ degree(affected), so a delta the V/8 gate admits can
+    # still reach ~all of E through hubs — the measured n_cand guard
+    # below catches that, but each miss costs a wasted measuring
+    # action (~a dense superstep at RMAT-23; round-4 A/B iteration 3).
+    # V/64 skips the measure for obviously-too-big deltas.
     fthr = (
-        max(1, min(V // 8, 4_000_000))
+        max(1, min(V // 64, 4_000_000))
         if frontier_threshold is None
         else int(frontier_threshold)
     )
