@@ -116,6 +116,29 @@ def test_lpa_frontier_mode_identical(spark, kind):
         assert dense == forced == auto, (kind, kw)
 
 
+def test_wcc_superstep_metrics_contract(spark):
+    """superstep_metrics emits one dict per checking action with the
+    measured shuffle deltas, changed-count, wall, and mode — and
+    frontier mode actually engages when forced."""
+    edges = make_edges("tiny_social")
+    G = Graph(edges_df(spark, edges), directed=False)
+    m: list = []
+    weakly_connected_components(
+        G, frontier_threshold=10**9, superstep_metrics=m
+    ).count()
+    assert m, "no metrics emitted"
+    for entry in m:
+        assert set(entry) >= {
+            "iteration", "mode", "changed", "seconds",
+            "shuffle_read", "shuffle_write",
+        }
+        assert entry["mode"] in ("dense", "frontier")
+        assert entry["seconds"] >= 0
+    assert m[0]["mode"] == "dense"  # superstep 0 has no measured delta
+    assert any(e["mode"] == "frontier" for e in m[1:])
+    assert m[-1]["changed"] == 0
+
+
 def test_tc_packed_closing_leg_identical(spark, monkeypatch):
     """Force the mid-size closing-leg paths (packed-long broadcast and
     packed-long shuffle join) on small graphs; counts must match the
