@@ -44,8 +44,19 @@ full_wall = round(time.perf_counter() - t0, 2)
 out["runs"].append({"start": "full", "wall": full_wall, "sum_counts": int(full_tri)})
 print(f"full wall={full_wall}s sum={full_tri}", flush=True)
 
-for mod in (100_000, 10_000, 1_000, 100):
-    sl = G.vertices().filter(F.col("vertex") % mod == 0)
+# RMAT low ids are the hubs: a start set containing vertex 0 pulls in
+# >half of E through its 1-hop ball (measured: 3 starts incl. hub 0 →
+# 4.1M of 7.6M edges). Report hub-free strata (vertex > 2^{scale}/4,
+# the power-law tail) as the scaling curve, plus one hub-inclusive row
+# for honesty about the worst case.
+tail_floor = 2 ** scale // 4
+for tag, pred in (
+    ("hub3", (F.col("vertex") % 100_000 == 0)),
+    ("tail_few", (F.col("vertex") > tail_floor) & (F.col("vertex") % 20_000 == 7)),
+    ("tail_some", (F.col("vertex") > tail_floor) & (F.col("vertex") % 2_000 == 7)),
+    ("tail_many", (F.col("vertex") > tail_floor) & (F.col("vertex") % 200 == 7)),
+):
+    sl = G.vertices().filter(pred)
     ns = sl.count()
     # masked-subgraph edge count = the |2-hop(start)| cost proxy
     nb = (
@@ -64,9 +75,9 @@ for mod in (100_000, 10_000, 1_000, 100):
     s = r.agg(F.sum("counts")).first()[0]
     wall = round(time.perf_counter() - t0, 2)
     out["runs"].append({
-        "start": ns, "masked_edges": masked, "wall": wall,
+        "tag": tag, "start": ns, "masked_edges": masked, "wall": wall,
         "sum_counts": int(s or 0),
     })
-    print(f"start={ns} masked_edges={masked} wall={wall}s sum={s}", flush=True)
+    print(f"{tag}: start={ns} masked_edges={masked} wall={wall}s sum={s}", flush=True)
 
 print("TCSTART " + json.dumps(out), flush=True)
