@@ -54,6 +54,7 @@ def main():
     qs = entry.queries()
     oracles = entry.oracle_sql()
     failures = []
+    timings: dict[str, float] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -62,6 +63,7 @@ def main():
         spark_rows = df.collect()
         spark_cols = df.columns
         t1 = time.time()
+        timings[name] = t1 - t0
         if name not in oracles:
             print(f"[rows-only] {name}: {len(spark_rows)} rows  ({t1-t0:.1f}s)")
             continue
@@ -91,6 +93,12 @@ def main():
             # tuple sort and abort the gate before the FAILURES summary
             print("  spark:", sorted((tuple(r) for r in spark_rows), key=repr)[:10])
             print("  duck :", sorted(duck_rows, key=repr)[:10])
+    if len(timings) > 3:
+        total = sum(timings.values())
+        top = sorted(timings.items(), key=lambda kv: -kv[1])[:15]
+        print(f"SPARK TOTAL: {total:.1f}s over {len(timings)} queries; slowest:")
+        for n, s in top:
+            print(f"  {s:6.1f}s  {n}")
     print("FAILURES:", failures or "none")
     return 1 if failures else 0
 
