@@ -60,6 +60,17 @@ from ..plans.strategy import (
     vertex_join_side,
 )
 
+# Frontier-superstep safety guard (measured in one action before the
+# plan is committed — module docstring): |affected| must stay
+# broadcast-small and Σ degree(affected) — the exact row count of the
+# in-edge fetch — must stay well under E (a 400k-vertex frontier on
+# RMAT-23 reaches ~all of E through the hubs; measured OOM in the
+# round-4 A/B before this guard). Module-level so tests can force the
+# frontier path on small fixtures.
+_FRONTIER_AFF_CAP = 4_000_000
+_FRONTIER_CAND_CAP = 32_000_000
+_FRONTIER_CAND_FRAC_DEN = 8  # n_cand must be < n_edges / this
+
 
 def label_propagation(
     G: Graph,
@@ -72,6 +83,8 @@ def label_propagation(
     broadcast_limit: int | None = None,
     frontier_threshold: int | None = None,
     superstep_metrics: list | None = None,
+    detect_cycle: bool = True,
+    tie_break: str = "min",
 ) -> DataFrame:
     """Returns DataFrame ``[vertex, labels]``. Requires an undirected
     (symmetrized) graph — incident weight means both directions.
@@ -97,7 +110,37 @@ def label_propagation(
 
     ``superstep_metrics``: pass a list to receive one dict per checking
     action with the MEASURED shuffle read/write byte deltas
-    (``plans/metrics.py``), the changed-count, and the mode."""
+    (``plans/metrics.py``), the changed-count, and the mode.
+
+    **Oscillation / termination.** The synchronous update famously
+    2-cycles on bipartite-ish structures (a 4-cycle under the min-tie
+    rule flips labels forever), so runs can plateau at a nonzero
+    changed-count and burn every remaining superstep re-deciding the
+    same vertices (measured: 2,887 vertices from iteration ~5 onward at
+    RMAT-23, round-4 A/B). With ``detect_cycle=True`` (default) each
+    checking action ALSO compares the labels to those of two supersteps
+    ago — fused into the same aggregate, zero extra actions — and on a
+    detected period-2 cycle stops early, returning the labels the full
+    ``max_iter`` run would have produced: the state sequence is
+    periodic from the detection point, so the terminal labels are the
+    current frame when the remaining superstep count is even, the
+    previous frame when odd. Results are therefore BIT-IDENTICAL to
+    ``detect_cycle=False`` for every ``max_iter`` (property-tested);
+    only the wall changes. Note the semantics wart this preserves
+    honestly: an oscillating vertex's terminal label depends on
+    ``max_iter`` PARITY — deterministic but arbitrary. Detection needs
+    two consecutive checked supersteps, so ``check_every>1`` batches
+    disable it for the batched stretch.
+
+    ``tie_break="hold"`` (opt-in; default ``"min"`` is the gated
+    reference semantics): a vertex whose current label is among the
+    max-weight candidates KEEPS it; otherwise the smallest max-weight
+    label wins. The literature's standard oscillation damper — a
+    2-cycle requires a strictly-better foreign label, so bipartite
+    flip-flop dies out. Changes which labeling converges, hence
+    opt-in."""
+    if tie_break not in ("min", "hold"):
+        raise ValueError(f"unknown tie_break: {tie_break!r}")
     if G.directed:
         raise ValueError(
             "label_propagation requires an undirected (symmetrized) graph"
@@ -210,7 +253,9 @@ def label_propagation(
             ).first()
             n_aff = int(stats["n_aff"] or 0)
             n_cand = int(stats["n_cand"] or 0)
-            if n_aff > 4_000_000 or n_cand > min(n_edges // 8, 32_000_000):
+            if n_aff > _FRONTIER_AFF_CAP or n_cand > min(
+                n_edges // _FRONTIER_CAND_FRAC_DEN, _FRONTIER_CAND_CAP
+            ):
                 use_frontier = False
         if use_frontier:
             # Full in-edge rows of the affected vertices only — the
@@ -251,11 +296,46 @@ def label_propagation(
                 .groupBy(F.col(DST), F.col("labels").alias("cand"))
                 .agg(F.sum(WGT).alias("w"))
             )
-        best = scores.groupBy(DST).agg(
-            F.max(F.struct(F.col("w"), (-F.col("cand")).alias("neg"))).alias("m")
-        ).select(F.col(DST), (-F.col("m.neg")).alias("new_label"))
+        if tie_break == "hold":
+            # damped variant: prefer the vertex's CURRENT label among
+            # max-weight candidates (pref=1 sorts above pref=0 in the
+            # struct max), else smallest max-weight label
+            if state is None:
+                scored = scores.withColumn(
+                    "pref",
+                    F.when(F.col("cand") == F.col(DST), 1).otherwise(0),
+                )
+            else:
+                curside = vertex_join_side(
+                    state.select(
+                        F.col("vertex").alias("cv"),
+                        F.col("labels").alias("cur"),
+                    ),
+                    V,
+                    limit=blimit,
+                )
+                scored = scores.join(
+                    curside, scores[DST] == F.col("cv"), "left"
+                ).withColumn(
+                    "pref",
+                    F.when(F.col("cand") == F.col("cur"), 1).otherwise(0),
+                )
+            best = scored.groupBy(DST).agg(
+                F.max(
+                    F.struct(
+                        F.col("w"), F.col("pref"), (-F.col("cand")).alias("neg")
+                    )
+                ).alias("m")
+            ).select(F.col(DST), (-F.col("m.neg")).alias("new_label"))
+        else:
+            best = scores.groupBy(DST).agg(
+                F.max(F.struct(F.col("w"), (-F.col("cand")).alias("neg"))).alias("m")
+            ).select(F.col(DST), (-F.col("m.neg")).alias("new_label"))
 
-        # old label carried through → changed-count without a second join
+        # old label carried through → changed-count without a second
+        # join; when the previous superstep was checked, the label of
+        # TWO supersteps ago rides along as old2 so the period-2-cycle
+        # test below fuses into the same action
         if state is None:
             new_full = best.select(
                 F.col(DST).alias("vertex"),
@@ -263,8 +343,16 @@ def label_propagation(
                 F.col(DST).alias("old"),
             ).transform(truncate_plan)
         else:
+            base = prev_full if prev_full is not None else state
+            sel = [
+                base["vertex"],
+                F.coalesce("new_label", base["labels"]).alias("labels"),
+                base["labels"].alias("old"),
+            ]
+            if prev_full is not None:
+                sel.append(base["old"].alias("old2"))
             new_full = (
-                state.join(
+                base.join(
                     # frontier supersteps in broadcast-state mode
                     # broadcast the (affected-sized, ≤ V rows — the
                     # dense path's own state-broadcast budget) update so
@@ -273,14 +361,10 @@ def label_propagation(
                     F.broadcast(best)
                     if (use_frontier and bcast)
                     else best.hint("shuffle_hash"),
-                    state["vertex"] == best[DST],
+                    base["vertex"] == best[DST],
                     "left",
                 )
-                .select(
-                    state["vertex"],
-                    F.coalesce("new_label", state["labels"]).alias("labels"),
-                    state["labels"].alias("old"),
-                )
+                .select(*sel)
                 .transform(truncate_plan)
             )
 
@@ -294,20 +378,33 @@ def label_propagation(
             prev_full = None
             continue
 
-        changed = (
-            new_full.agg(
+        have_old2 = detect_cycle and "old2" in new_full.columns
+        aggs = [
+            F.sum(
+                F.when(F.col("labels") != F.col("old"), 1).otherwise(0)
+            ).alias("c")
+        ]
+        if have_old2:
+            aggs.append(
                 F.sum(
-                    F.when(F.col("labels") != F.col("old"), 1).otherwise(0)
-                ).alias("c")
+                    F.when(F.col("labels") != F.col("old2"), 1).otherwise(0)
+                ).alias("c2")
             )
-            .first()["c"]
-        )
+        row = new_full.agg(*aggs).first()
+        changed = row["c"]
+        # exact period-2 cycle: this frame equals the one from two
+        # supersteps ago on EVERY row; the synchronous update is a
+        # deterministic state function, so the sequence is provably
+        # periodic from here — no further superstep can produce a new
+        # labeling
+        cycle = bool(have_old2 and changed and row["c2"] == 0)
         if probe is not None:
             superstep_metrics.append(
                 {
                     "iteration": it,
                     "mode": "frontier" if use_frontier else "dense",
                     "changed": int(changed),
+                    "cycle_detected": cycle,
                     "seconds": round(_time.perf_counter() - _t0, 3),
                     **probe.delta(),
                 }
@@ -321,8 +418,22 @@ def label_propagation(
             state = checkpoint.save(
                 state.select("vertex", "labels"), it, {"changed": int(changed)}
             )
+            # the saved frame has fresh lineage; old2 threading would
+            # bypass it, so detection skips the next superstep
+            prev_full = None
 
         if changed == 0:
+            break
+        if cycle:
+            # return exactly what max_iter supersteps would have: the
+            # state is 2-periodic from here, so the terminal frame is
+            # this one when the remaining superstep count is even, the
+            # previous one when odd (max_iter-parity semantics of
+            # oscillating vertices — see docstring)
+            if (max_iter - (it + 1)) % 2 == 1:
+                state = new_full.select(
+                    "vertex", F.col("old").alias("labels")
+                )
             break
 
     edges.unpersist()

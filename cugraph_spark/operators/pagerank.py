@@ -25,22 +25,24 @@ Two physical strategies, same semantics (validated equal in tests):
   ``reduce_op::plus`` shuffle combine).
 - ``mode="csr"``: the north-star architecture — edges hash-partitioned
   by ``pid = hash(src) % P`` into per-partition CSR blocks built ONCE
-  (sorted-unique src/dst dictionaries + int32 code arrays + weights,
-  written as mmap-able ``.npy`` files to a shared directory), then
-  each superstep ships ONLY the O(V) rank vector through the Python
+  by the shared packer (``plans/csr_blocks.py`` — src-sorted indptr
+  layout, dense-id or dictionary dst format, weights), then each
+  superstep ships ONLY the O(V) rank vector through the Python
   boundary: a ``groupBy(pid).applyInPandas`` maps ranks onto the
-  block's src dictionary (one searchsorted) and runs the SpMV as a
-  single ``np.bincount`` over the dst codes — in-UDF partial combine —
-  followed by the shuffle-based ``(dst, partial)`` message exchange.
-  The O(E) side never crosses the Arrow boundary again after setup
+  block's srcs (scatter / searchsorted) and runs the SpMV as a single
+  ``np.bincount`` — in-UDF partial combine — followed by the
+  shuffle-based ``(dst, partial)`` message exchange. The O(E) side
+  never crosses the Arrow boundary again after setup
   (``np.load(mmap_mode='r')`` reads the page-cache-resident block),
   the Spark analog of cuGraph keeping the CSR on-GPU across
   iterations with ``per_v_transform_reduce_incoming_e`` + NCCL
   combine. On a multi-node cluster ``block_dir`` must be a shared
-  filesystem (HDFS-fuse/NFS/EFS); executors that lack a block file
-  contribute nothing, which the setup job makes impossible on a
-  correct deployment because the writer and reader key on the same
-  Catalyst ``hash(src) % P`` expression.
+  filesystem (HDFS-fuse/NFS/EFS); the pack manifest travels with the
+  readers, and a manifest-listed block missing at read time (torn
+  deployment, non-shared dir) or a rank slice not covering a block's
+  srcs (stale blocks) RAISES — never a silent zero contribution.
+  Composes with ``chained`` (tol=0.0): after the one pack job the
+  whole superstep chain executes inside the terminal action.
 
 Scale notes: one Spark action per superstep (the combined
 L1-diff + next-dangling agg is the ``host_scalar_allreduce`` analog,
@@ -74,79 +76,61 @@ class FailedToConvergeError(RuntimeError):
     (mirrors cugraph's error at pagerank.py:290-293)."""
 
 
-_EMPTY_PARTIAL = pd.DataFrame(
-    {"dst": pd.Series([], dtype="int64"), "contrib": pd.Series([], dtype="float64")}
-)
-
-
-def _csr_pack(block_dir: str):
-    """Block builder for mode='csr': one call per pid packs that
-    partition's edges into mmap-able arrays — sorted-unique src/dst
-    dictionaries, int32 code arrays, float64 weights — under
-    ``block_dir``. Runs ONCE at setup; every superstep after reads the
-    block zero-copy via ``np.load(mmap_mode='r')`` (OS page cache is
-    the cross-superstep residency, shared between worker processes)."""
-
-    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        import os
-
-        import numpy as np
-
-        pid = int(pdf["pid"].iloc[0])
-        src = pdf["src"].to_numpy(np.int64)
-        dst = pdf["dst"].to_numpy(np.int64)
-        w = pdf["weight"].to_numpy(np.float64)
-        su, sc = np.unique(src, return_inverse=True)
-        du, dc = np.unique(dst, return_inverse=True)
-        base = os.path.join(block_dir, str(pid))
-        np.save(base + ".su.npy", su)
-        np.save(base + ".sc.npy", sc.astype(np.int32))
-        np.save(base + ".du.npy", du)
-        np.save(base + ".dc.npy", dc.astype(np.int32))
-        np.save(base + ".w.npy", w)
-        return pd.DataFrame({"pid": [pid], "n": [len(src)]})
-
-    return pack
-
-
-def _csr_spmv(block_dir: str):
-    """Per-pid gather-scatter for mode='csr': map the incoming rank
-    vector onto the block's src dictionary (one searchsorted), then the
-    whole SpMV + in-UDF partial combine is a single ``np.bincount``
-    over the dst codes. Only O(V/P) ranks cross the Arrow boundary —
-    the O(E/P) block arrays are mmap'd from ``block_dir``."""
+def _csr_spmv(block_dir: str, manifest: dict, meta: dict):
+    """Per-pid gather-scatter for mode='csr' over the shared packed
+    blocks (``plans/csr_blocks.py``): map the incoming rank vector onto
+    the block's src dictionary (scatter for dense-id blocks, one
+    searchsorted for dict blocks — both RAISE on a slice that does not
+    cover the block's srcs, the torn-state contract), then the whole
+    SpMV + in-UDF partial combine is a single ``np.bincount``. Only
+    O(V/P) ranks cross the Arrow boundary — the O(E/P) block arrays
+    are mmap'd from ``block_dir``. A manifest-listed pid whose block
+    files are missing RAISES (torn deployment — ADVICE r4: silent
+    empty-returns here silently zeroed ranks); only pids absent from
+    the manifest legitimately have no edges."""
 
     def spmv(pdf: pd.DataFrame) -> pd.DataFrame:
-        import os
-
         import numpy as np
 
+        from ..plans.csr_blocks import (
+            load_block,
+            scatter_state_for_srcs,
+            state_values_for_srcs,
+        )
+
+        empty = pd.DataFrame(
+            {
+                "dst": pd.Series([], dtype="int64"),
+                "contrib": pd.Series([], dtype="float64"),
+            }
+        )
         if len(pdf) == 0:
-            return _EMPTY_PARTIAL
-        base = os.path.join(block_dir, str(int(pdf["pid"].iloc[0])))
-        try:
-            su = np.load(base + ".su.npy", mmap_mode="r")
-        except FileNotFoundError:
-            return _EMPTY_PARTIAL  # pid with ranks but no edges
-        sc = np.load(base + ".sc.npy", mmap_mode="r")
-        du = np.load(base + ".du.npy", mmap_mode="r")
-        dc = np.load(base + ".dc.npy", mmap_mode="r")
-        w = np.load(base + ".w.npy", mmap_mode="r")
+            return empty
+        pid = int(pdf["pid"].iloc[0])
+        if pid not in manifest:
+            return empty  # pid with ranks but genuinely no edges
+        blk = load_block(block_dir, pid, meta)
+        su = np.asarray(blk["su"])
+        indptr = np.asarray(blk["indptr"])
+        w = np.asarray(blk["w"])
         v = pdf["vertex"].to_numpy(np.int64)
         r = pdf["rank_div"].to_numpy(np.float64)
-        order = np.argsort(v, kind="stable")
-        vs, rs = v[order], r[order]
-        pos = np.searchsorted(vs, su)
-        # every block src hashes to this pid so it must be present in
-        # the rank vector; the guard keeps a torn state from crashing
-        pos_c = np.minimum(pos, len(vs) - 1)
-        rank_per_src = np.where(vs[pos_c] == su, rs[pos_c], 0.0)
+        if meta["ids"] == "dense":
+            rank_src = scatter_state_for_srcs(v, r, su, meta["hi1"])
+            contrib = np.bincount(
+                np.asarray(blk["dr"]),
+                weights=np.repeat(rank_src, np.diff(indptr)) * w,
+                minlength=meta["hi1"],
+            )
+            touched = np.flatnonzero(contrib)
+            return pd.DataFrame({"dst": touched, "contrib": contrib[touched]})
+        rank_src = state_values_for_srcs(v, r, su)
         contrib = np.bincount(
-            np.asarray(dc),
-            weights=rank_per_src[np.asarray(sc)] * np.asarray(w),
-            minlength=len(du),
+            np.asarray(blk["dc"]),
+            weights=np.repeat(rank_src, np.diff(indptr)) * w,
+            minlength=len(blk["du"]),
         )
-        return pd.DataFrame({"dst": np.asarray(du), "contrib": contrib})
+        return pd.DataFrame({"dst": np.asarray(blk["du"]), "contrib": contrib})
 
     return spmv
 
@@ -206,13 +190,13 @@ def pagerank(
     P = resolve_partitions(num_partitions, G.edges)
 
     if chained is None:
-        chained = tol == 0.0 and checkpoint is None and mode == "dataframe"
+        chained = tol == 0.0 and checkpoint is None
     elif chained:
-        if tol != 0.0 or checkpoint is not None or mode != "dataframe":
+        if tol != 0.0 or checkpoint is not None:
             raise ValueError(
-                "chained=True requires tol=0.0, no checkpoint, and "
-                "mode='dataframe' (the L1 convergence check and resume "
-                "metadata need one action per superstep)"
+                "chained=True requires tol=0.0 and no checkpoint (the L1 "
+                "convergence check and resume metadata need one action "
+                "per superstep)"
             )
 
     # --- invariant side: edges + out-weight sums, partitioned once ---
@@ -224,18 +208,21 @@ def pagerank(
         # block_dir must be shared storage on a multi-node cluster.
         import tempfile
 
+        from ..plans.csr_blocks import pack_edges, read_meta
+
         if block_dir is None:
             block_dir = tempfile.mkdtemp(prefix="cugraph_pr_csr_")
             block_cleanup = block_dir
         edges = G.edges
-        (
-            edges.select(
-                F.pmod(F.hash(F.col(SRC)), F.lit(P)).alias("pid"), SRC, DST, WGT
-            )
-            .groupBy("pid")
-            .applyInPandas(_csr_pack(block_dir), schema="pid long, n long")
-            .count()  # one setup job: writes every block file
+        _, lo, hi = G.vertex_stats()
+        # one setup job writes every block file and returns the
+        # manifest; readers raise on a manifest-listed block that is
+        # missing (torn deployment) instead of contributing zeros
+        manifest = pack_edges(
+            edges, block_dir, P, src=SRC, dst=DST, weight=WGT,
+            id_bounds=(lo, hi),
         )
+        block_meta = read_meta(block_dir, expect_P=P)
     else:
         e = G.edges if G.partitioned_on(SRC) else G.edges.repartition(P, SRC)
         edges = e.persist(StorageLevel.MEMORY_AND_DISK)
@@ -316,7 +303,8 @@ def pagerank(
             ranks_parted = rank_div.withColumn(
                 "pid", F.pmod(F.hash(F.col("vertex")), F.lit(P)))
             partials = ranks_parted.groupBy("pid").applyInPandas(
-                _csr_spmv(block_dir), schema="dst long, contrib double"
+                _csr_spmv(block_dir, manifest, block_meta),
+                schema="dst long, contrib double",
             )
             contribs = partials.groupBy(DST).agg(F.sum("contrib").alias("contrib"))
         else:

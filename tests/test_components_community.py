@@ -331,3 +331,255 @@ def test_wcc_large_ids_use_long_path(spark):
     # output schema stays long either way
     out = weakly_connected_components(G)
     assert dict(out.dtypes) == {"vertex": "bigint", "labels": "bigint"}
+
+
+# ---------------------------------------------------------------- round 5
+
+
+@pytest.mark.parametrize("kind", ["tiny_social", "disjoint", "line", "hub"])
+def test_wcc_csr_mode_identical(spark, kind):
+    """mode='csr' (packed mmap blocks, np.minimum.at supersteps) must
+    produce the exact dataframe-mode labels — at the auto frontier
+    threshold, forced-frontier from superstep 1, and forced-dense."""
+    edges = make_edges(kind)
+    G = Graph(edges_df(spark, edges), directed=False)
+    base = _as_map(weakly_connected_components(G).collect())
+    for kw in (
+        {},
+        {"frontier_threshold": 10**9},
+        {"frontier_threshold": 0},
+    ):
+        got = _as_map(
+            weakly_connected_components(G, mode="csr", **kw).collect()
+        )
+        assert got == base, (kind, kw)
+    ref = wcc_ref(edges)
+    assert base == {v: int(ref[v]) for v in sorted(base)}
+
+
+def test_wcc_csr_frontier_engages_and_long_path(spark):
+    """csr frontier supersteps (indptr-sliced, frontier-sized lookups)
+    must engage when forced and still reach the exact fixpoint on a
+    diameter-heavy path — the case the O(E) probe floor used to pay
+    per superstep."""
+    p = [(i, i + 1, 1.0) for i in range(300)]
+    edges = p + [(b, a, w) for a, b, w in p]
+    G = Graph(edges_df(spark, edges), directed=False)
+    m: list = []
+    got = _as_map(
+        weakly_connected_components(
+            G, mode="csr", frontier_threshold=10**9, superstep_metrics=m
+        ).collect()
+    )
+    assert got == {v: 0 for v in range(301)}
+    assert m[0]["mode"] == "csr-dense"
+    assert any(
+        e["mode"] == "csr-frontier" and e["changed"] > 0 for e in m[1:]
+    )
+
+
+def test_csr_block_manifest_and_missing_block_raises(spark, tmp_path):
+    """pack_edges returns a manifest of packed pids and validated
+    metadata; a manifest-listed block whose file is missing RAISES at
+    read time instead of silently contributing zeros (torn-deployment
+    guard); a stale state slice that does not cover the block's srcs
+    raises; and a block_dir packed with a different P is rejected."""
+    import numpy as np
+
+    from cugraph_spark.plans.csr_blocks import (
+        load_block,
+        pack_edges,
+        read_meta,
+        scatter_state_for_srcs,
+        state_values_for_srcs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0), (3, 1, 1.0)],
+        "src long, dst long, weight double",
+    )
+    # dict format (no id_bounds)
+    bdir = str(tmp_path / "blocks_dict")
+    manifest = pack_edges(df, bdir, 4, weight="weight")
+    assert sum(manifest.values()) == 3
+    meta = read_meta(bdir, expect_P=4)
+    assert meta["ids"] == "dict"
+    with pytest.raises(RuntimeError, match="P=4"):
+        read_meta(bdir, expect_P=8)
+    pid = next(iter(manifest))
+    blk = load_block(bdir, pid, meta)
+    assert len(blk["dc"]) == int(blk["indptr"][-1]) == len(blk["w"])
+    # dense format (id bounds provided and small)
+    bd2 = str(tmp_path / "blocks_dense")
+    man2 = pack_edges(df, bd2, 4, weight="weight", id_bounds=(1, 3))
+    meta2 = read_meta(bd2, expect_P=4)
+    assert meta2["ids"] == "dense" and meta2["hi1"] == 4
+    pid2 = next(iter(man2))
+    blk2 = load_block(bd2, pid2, meta2)
+    assert len(blk2["dr"]) == int(blk2["indptr"][-1])
+    # torn state: slice missing one of the block's srcs (both mappers)
+    su = np.asarray(blk["su"])
+    with pytest.raises(RuntimeError, match="does not match"):
+        state_values_for_srcs(su[:0], np.zeros(0), su)
+    with pytest.raises(RuntimeError, match="does not match"):
+        scatter_state_for_srcs(
+            np.asarray([], dtype=np.int64),
+            np.asarray([], dtype=np.int64),
+            np.asarray(blk2["su"]),
+            meta2["hi1"],
+        )
+    # torn deployment: manifest-listed file gone
+    import os
+
+    os.remove(os.path.join(bdir, f"{pid}.su.npy"))
+    with pytest.raises(RuntimeError, match="missing"):
+        load_block(bdir, pid, meta)
+
+
+def test_lpa_cycle_stop_parity_exact(spark):
+    """A 4-cycle oscillates forever under the synchronous min-tie rule;
+    detect_cycle must stop early AND return bit-identical labels to the
+    full fixed-iteration run for every max_iter parity."""
+    sq = [(0, 1, 1.0), (1, 2, 1.0), (2, 3, 1.0), (3, 0, 1.0)]
+    edges = sq + [(b, a, w) for a, b, w in sq]
+    G = Graph(edges_df(spark, edges), directed=False)
+    for mi in (3, 4, 5, 6, 7, 8):
+        full = _as_map(
+            label_propagation(G, max_iter=mi, detect_cycle=False).collect()
+        )
+        fast = _as_map(
+            label_propagation(G, max_iter=mi, detect_cycle=True).collect()
+        )
+        assert fast == full, mi
+    m: list = []
+    label_propagation(G, max_iter=12, superstep_metrics=m).count()
+    assert any(e.get("cycle_detected") for e in m)
+    assert len(m) < 12  # stopped early
+
+
+def test_lpa_hold_tie_damps_oscillation(spark):
+    """tie_break='hold' (keep the current label when it ties the max
+    weight) converges on a fixture where the min-tie rule 2-cycles;
+    the default path's labels are unchanged by the flag's existence."""
+    e5 = [(0, 3, 1.0), (1, 2, 1.0), (1, 3, 1.0), (1, 4, 1.0), (2, 3, 1.0)]
+    edges = e5 + [(b, a, w) for a, b, w in e5]
+    G = Graph(edges_df(spark, edges), directed=False)
+    m_min: list = []
+    label_propagation(G, max_iter=12, superstep_metrics=m_min).count()
+    assert any(e.get("cycle_detected") for e in m_min)  # min rule cycles
+    m_hold: list = []
+    hold = _as_map(
+        label_propagation(
+            G, max_iter=12, tie_break="hold", superstep_metrics=m_hold
+        ).collect()
+    )
+    assert m_hold[-1]["changed"] == 0  # genuinely converged
+    assert hold == {v: 1 for v in range(5)}  # brute-force oracle
+    with pytest.raises(ValueError):
+        label_propagation(G, tie_break="nope")
+
+
+def test_lpa_frontier_engages_with_changed_rows(spark, monkeypatch):
+    """The affected-set frontier path must actually ENGAGE (mode ==
+    'frontier' with changed > 0) under a forced threshold — not only at
+    the final changed==0 superstep (ADVICE r4: the equality check was
+    near-vacuous without this)."""
+    import importlib
+
+    # the operators package re-exports the function under the module's
+    # name, so attribute-style import resolves to the function
+    lp_mod = importlib.import_module(
+        "cugraph_spark.operators.label_propagation"
+    )
+    monkeypatch.setattr(lp_mod, "_FRONTIER_CAND_FRAC_DEN", 1)
+    edges = make_edges("hub")
+    G = Graph(edges_df(spark, edges), directed=False)
+    dense = _as_map(
+        label_propagation(G, frontier_threshold=0, max_iter=20).collect()
+    )
+    m: list = []
+    forced = _as_map(
+        label_propagation(
+            G,
+            frontier_threshold=10**9,
+            max_iter=20,
+            superstep_metrics=m,
+        ).collect()
+    )
+    assert forced == dense
+    assert any(
+        e["mode"] == "frontier" and e["changed"] > 0 for e in m
+    ), [(e["mode"], e["changed"]) for e in m]
+
+
+def test_wcc_csr_pre_partitioned_zero_shuffle_pack(spark):
+    """A loop-prepped cache (hash-partitioned P-ways on src) lets the
+    packer stream partitions with NO shuffle (mapInPandas fast path;
+    physical partition index == pid). Labels must equal dataframe
+    mode; a frame that merely CLAIMS the layout fails loud."""
+    from cugraph_spark.plans.csr_blocks import pack_edges
+
+    edges = make_edges("tiny_social")
+    sym = edges + [(b, a, w) for a, b, w in edges]
+    df = (
+        spark.createDataFrame(sym, "src long, dst long, weight double")
+        .repartition(4, "src")
+        .persist()
+    )
+    df.count()
+    G = Graph(
+        df, directed=False, assume_symmetric=True, pre_partitioned=True
+    )
+    base = _as_map(
+        weakly_connected_components(G, num_partitions=4).collect()
+    )
+    got = _as_map(
+        weakly_connected_components(G, num_partitions=4, mode="csr").collect()
+    )
+    assert got == base
+    # a shuffled-order frame claiming pre_partitioned must raise
+    bad = spark.createDataFrame(sym, "src long, dst long, weight double")
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        with pytest.raises(Exception, match="NOT[\\s\\S]*hash-partitioned"):
+            pack_edges(bad.coalesce(2), d, 4, pre_partitioned=True)
+    df.unpersist()
+
+
+def test_tc_start_list_hub_and_broadcast_gate(spark, monkeypatch):
+    """start_list masking levers: a hub start whose N[S] covers > half
+    the vertex set must SKIP the mask (pure overhead) and still return
+    exact per-start counts; a start set above the broadcast cutover
+    must take the un-hinted semi join and stay exact."""
+    import importlib
+
+    tc_mod = importlib.import_module(
+        "cugraph_spark.operators.triangle_count"
+    )
+    edges = make_edges("hub")
+    G = Graph(edges_df(spark, edges), directed=False)
+    full = {r["vertex"]: r["counts"] for r in triangle_count(G).collect()}
+
+    hub_start = spark.createDataFrame([(0,)], "vertex long")  # the hub
+    got = {
+        r["vertex"]: r["counts"]
+        for r in triangle_count(G, start_list=hub_start).collect()
+    }
+    assert got == {0: full[0]}
+
+    # force the non-broadcast start path (ADVICE r4 gate)
+    monkeypatch.setattr(tc_mod, "_START_BROADCAST_LIMIT", 0)
+    sl = spark.createDataFrame([(0,), (1,), (2,)], "vertex long")
+    got2 = {
+        r["vertex"]: r["counts"]
+        for r in triangle_count(G, start_list=sl).collect()
+    }
+    assert got2 == {v: full[v] for v in (0, 1, 2)}
+    # force the mask OFF entirely for a non-hub start — counts unchanged
+    monkeypatch.setattr(tc_mod, "_MASK_KEEP_FRAC_DEN", 10**9)
+    got3 = {
+        r["vertex"]: r["counts"]
+        for r in triangle_count(G, start_list=sl).collect()
+    }
+    assert got3 == got2

@@ -163,3 +163,47 @@ def test_pagerank_sums_to_one(spark):
     edges = make_edges("disjoint")
     got = _run(spark, edges, directed=False)
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_csr_chained_bit_identical(spark):
+    """mode='csr' now composes with the zero-action chained loop
+    (tol=0.0 auto-chains): one pack job, every superstep lazy inside
+    the terminal action; ranks must equal the unchained csr loop and
+    the dataframe plan to float tolerance."""
+    edges = make_edges("directed_asym")
+    G = Graph(edges_df(spark, edges), directed=True)
+    a, _ = pagerank(G, alpha=ALPHA, tol=0.0, max_iter=6, mode="csr",
+                    fail_on_nonconvergence=False)  # auto-chained
+    b, _ = pagerank(G, alpha=ALPHA, tol=0.0, max_iter=6, mode="csr",
+                    chained=False, fail_on_nonconvergence=False)
+    c, _ = pagerank(G, alpha=ALPHA, tol=0.0, max_iter=6,
+                    mode="dataframe", chained=False,
+                    fail_on_nonconvergence=False)
+    ga = {r.vertex: r.pagerank for r in a.collect()}
+    gb = {r.vertex: r.pagerank for r in b.collect()}
+    gc = {r.vertex: r.pagerank for r in c.collect()}
+    assert ga == gb  # same kernel, same order → bit-identical
+    for v in gc:
+        assert ga[v] == pytest.approx(gc[v], abs=1e-12)
+
+
+def test_pagerank_csr_missing_block_raises():
+    """The spmv reader must RAISE when the manifest lists a pid whose
+    block files are absent (torn deployment / non-shared block_dir) —
+    never return an empty (silent-zero) partial (ADVICE r4)."""
+    import tempfile
+
+    import pandas as pd
+    import pytest as _pytest
+
+    from cugraph_spark.operators.pagerank import _csr_spmv
+
+    with tempfile.TemporaryDirectory() as d:
+        meta = {"ids": "dict", "hi1": 0, "weighted": True, "P": 4}
+        fn = _csr_spmv(d, {0: 5}, meta)
+        pdf = pd.DataFrame({"pid": [0], "vertex": [1], "rank_div": [1.0]})
+        with _pytest.raises(RuntimeError, match="missing"):
+            fn(pdf)
+        # a pid ABSENT from the manifest is a legitimate hash gap
+        pdf2 = pd.DataFrame({"pid": [3], "vertex": [1], "rank_div": [1.0]})
+        assert len(fn(pdf2)) == 0

@@ -18,8 +18,11 @@ are the stored physical layout and table metadata. Shuffle files go to
 tmpfs so the sandbox's single shared virtual disk doesn't skew the
 8-vs-32-core comparison (a real 4N cluster has 4N shuffle disks).
 
-Usage: python tools/bench_scaling_wcc.py [N] [rmat_scale] [edgefactor] [iters]
-       (defaults: N=8, scale=22, edgefactor=16 → ~128M symmetrized edges)
+Usage: python tools/bench_scaling_wcc.py [N] [rmat_scale] [edgefactor] [iters] [mode]
+       (defaults: N=8, scale=22, edgefactor=16, mode=dataframe →
+       ~128M symmetrized edges; mode=csr runs the packed-block
+       supersteps — the pack job is setup/layout prep, same role as
+       the pre-stored partitioning, and superstep_seconds excludes it)
 """
 
 from __future__ import annotations
@@ -54,7 +57,7 @@ G.number_of_vertices()  # warm the memoized V (metadata on a real table)
 ts = []
 weakly_connected_components(
     G, max_iter={iters}, min_iter={iters}, check_every=1,
-    superstep_seconds=ts,
+    superstep_seconds=ts, mode={mode!r},
 ).count()
 steady = sorted(ts[2:])
 median = steady[len(steady) // 2]
@@ -66,7 +69,8 @@ print("BENCHJSON " + json.dumps({{
 """
 
 
-def run_worker(cpus: int, scale: int, ef: int, iters: int) -> dict:
+def run_worker(cpus: int, scale: int, ef: int, iters: int,
+               mode: str = "dataframe") -> dict:
     # sweep orphaned tmpfs shuffle scratch like bench_scaling.py does
     sys.path.insert(0, str(Path(__file__).resolve().parent))
     from bench_scaling import _sweep_orphan_scratch
@@ -78,7 +82,8 @@ def run_worker(cpus: int, scale: int, ef: int, iters: int) -> dict:
     shm = "/dev/shm/spark-graft-local"
     os.makedirs(shm, exist_ok=True)
     env.setdefault("SPARK_LOCAL_DIRS", shm)
-    code = WORKER.format(root=str(ROOT), scale=scale, ef=ef, iters=iters)
+    code = WORKER.format(root=str(ROOT), scale=scale, ef=ef, iters=iters,
+                         mode=mode)
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True,
         env=env, timeout=3600,
@@ -94,15 +99,17 @@ def main():
     scale = int(sys.argv[2]) if len(sys.argv) > 2 else 22
     ef = int(sys.argv[3]) if len(sys.argv) > 3 else 16
     iters = int(sys.argv[4]) if len(sys.argv) > 4 else 10
+    mode = sys.argv[5] if len(sys.argv) > 5 else "dataframe"
 
-    a = run_worker(n, scale, ef, iters)
-    b = run_worker(4 * n, scale, ef, iters)
+    a = run_worker(n, scale, ef, iters, mode)
+    b = run_worker(4 * n, scale, ef, iters, mode)
 
     thr_a = a["edges_per_sec_per_superstep"]
     thr_b = b["edges_per_sec_per_superstep"]
     eff = (thr_b / thr_a) / 4.0
     report = {
         "algo": "wcc",
+        "mode": mode,
         "input": f"rmat scale={scale} edgefactor={ef} symmetrized ({a['n_edges']} edges)",
         "cores_A": n, "cores_B": 4 * n,
         "steady_sec_per_superstep_A": round(a["steady_median_sec"], 2),
