@@ -218,11 +218,24 @@ def pagerank(
         # one setup job writes every block file and returns the
         # manifest; readers raise on a manifest-listed block that is
         # missing (torn deployment) instead of contributing zeros
-        manifest = pack_edges(
-            edges, block_dir, P, src=SRC, dst=DST, weight=WGT,
-            id_bounds=(lo, hi),
-        )
-        block_meta = read_meta(block_dir, expect_P=P)
+        import os as _os
+
+        if _os.path.exists(_os.path.join(block_dir, "meta.json")):
+            # pack-once-per-stored-graph reuse (same contract as wcc:
+            # P/hash-dtype validated; the caller owns the guarantee the
+            # blocks were packed from THIS graph)
+            block_meta = read_meta(block_dir, expect_P=P)
+            manifest = {int(k): v for k, v in block_meta["manifest"].items()}
+            if not block_meta.get("weighted"):
+                raise RuntimeError(
+                    f"CSR block_dir {block_dir} was packed without weights"
+                )
+        else:
+            manifest = pack_edges(
+                edges, block_dir, P, src=SRC, dst=DST, weight=WGT,
+                id_bounds=(lo, hi),
+            )
+            block_meta = read_meta(block_dir, expect_P=P)
     else:
         e = G.edges if G.partitioned_on(SRC) else G.edges.repartition(P, SRC)
         edges = e.persist(StorageLevel.MEMORY_AND_DISK)
@@ -301,7 +314,16 @@ def pagerank(
             # the writer and this reader key on the same Catalyst
             # hash(·) % P expression, so ranks land on their block
             ranks_parted = rank_div.withColumn(
-                "pid", F.pmod(F.hash(F.col("vertex")), F.lit(P)))
+                "pid",
+                F.pmod(
+                    F.hash(
+                        F.col("vertex").cast(
+                            block_meta.get("hash_t", "bigint")
+                        )
+                    ),
+                    F.lit(P),
+                ),
+            )
             partials = ranks_parted.groupBy("pid").applyInPandas(
                 _csr_spmv(block_dir, manifest, block_meta),
                 schema="dst long, contrib double",

