@@ -54,6 +54,8 @@ def bfs(
     source: int,
     max_depth: int | None = None,
     num_partitions: int | None = None,
+    mode: str = "dataframe",
+    block_dir: str | None = None,
 ) -> DataFrame:
     """Returns [vertex, distance, predecessor]; unreachable vertices get
     distance -1, predecessor -1 (reference python contract uses the
@@ -67,20 +69,75 @@ def bfs(
     visited), not O(V) join + O(V) shuffle + O(V) checkpoint per level
     (the round-2 shape) — on a 100 TB graph the early/late levels touch
     KB, not the whole vertex set. Predecessor is the min frontier
-    in-neighbor at the level of first reach, exactly as before."""
+    in-neighbor at the level of first reach, exactly as before.
+
+    ``mode="csr"`` (round 5): each level's candidate generation runs as
+    the packed-block frontier gather (``plans/csr_blocks.py`` — route
+    the frontier to its block, searchsorted + indptr slices, per-block
+    ``np.minimum.at`` for the min-id predecessor), so a level costs
+    O(|frontier| + Σ deg(frontier)) with NO O(E) edge-cache probe.
+    This is the Spark answer to the reference's direction-optimizing
+    switch (``bfs_impl.cuh:202``): bottom-up's purpose there is to
+    stop the large-frontier levels from touching every edge, and the
+    csr gather already touches only frontier-adjacent edges at ANY
+    frontier size — the worst case (frontier ≈ V) degenerates to one
+    ordered pass over the blocks, the same bound bottom-up achieves
+    (minus its per-vertex early-exit, which no join/aggregation model
+    can express). ``block_dir``: shared storage on a cluster; a dir
+    holding a matching pack is reused (pack once per stored graph)."""
+    if mode not in ("dataframe", "csr"):
+        raise ValueError(f"unknown mode: {mode!r}")
     spark = G.edges.sparkSession
     P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    edges = (
-        G.edges.select(SRC, DST).repartition(P, SRC).persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    # the source frontier comes off the (filter-pushed) edge cache, not
+
+    edges = None
+    kernel = None
+    block_meta = None
+    block_cleanup = None
+    if mode == "csr":
+        import os as _os
+        import tempfile
+
+        from ..plans.csr_blocks import pack_edges, read_meta
+        from .wcc import _csr_min_frontier
+
+        if block_dir is None:
+            block_dir = tempfile.mkdtemp(prefix="cugraph_bfs_csr_")
+            block_cleanup = block_dir
+        if _os.path.exists(_os.path.join(block_dir, "meta.json")):
+            block_meta = read_meta(block_dir, expect_P=P)
+            manifest = {
+                int(k): v for k, v in block_meta["manifest"].items()
+            }
+        else:
+            _, lo, hi = G.vertex_stats()
+            manifest = pack_edges(
+                G.edges.select(SRC, DST), block_dir, P, id_bounds=(lo, hi)
+            )
+            block_meta = read_meta(block_dir, expect_P=P)
+        # bound_mask=False: the message is a min-id PREDECESSOR, which
+        # may exceed the dst id (the WCC label bound does not apply)
+        kernel = _csr_min_frontier(
+            block_dir, manifest, block_meta, bound_mask=False
+        )
+        src_frame = G.edges.select(SRC, DST)
+    else:
+        edges = (
+            G.edges.select(SRC, DST)
+            .repartition(P, SRC)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        src_frame = edges
+    # the source frontier comes off the (filter-pushed) edge scan, not
     # an O(E) vertices() distinct; a source absent from the graph yields
     # an empty frontier → all-unreachable output, as before
     f0 = (
-        edges.select(F.col(SRC).alias("vertex"))
+        src_frame.select(F.col(SRC).alias("vertex"))
         .filter(F.col("vertex") == source)
         .unionByName(
-            edges.select(F.col(DST).alias("vertex")).filter(F.col("vertex") == source)
+            src_frame.select(F.col(DST).alias("vertex")).filter(
+                F.col("vertex") == source
+            )
         )
         .distinct()
         .transform(truncate_plan)  # materialized ≤1 row: the final
@@ -93,14 +150,49 @@ def bfs(
     limit = max_depth if max_depth is not None else 2**31
     while depth < limit:
         depth += 1
-        cand = (
-            frontier.join(edges, frontier["vertex"] == edges[SRC])
-            .groupBy(DST)
-            .agg(F.min(SRC).alias("pred"))
-        )
+        if mode == "csr":
+            # frontier routed to its own blocks; min-id pred gathered
+            # from frontier-adjacent edges only (indptr slices)
+            cand = (
+                frontier.select(
+                    F.col("vertex").alias("dv"),
+                    F.col("vertex").alias("dl"),
+                )
+                .withColumn(
+                    "pid",
+                    F.pmod(
+                        F.hash(F.col("dv").cast(block_meta["hash_t"])),
+                        F.lit(P),
+                    ),
+                )
+                .groupBy("pid")
+                .applyInPandas(
+                    kernel,
+                    # the kernel emits the block arrays' dtype: int32
+                    # when the packer narrowed the ids, else int64
+                    schema=(
+                        "dst int, nbr_min int"
+                        if block_meta.get(
+                            "narrow", block_meta["ids"] == "dense"
+                        )
+                        else "dst long, nbr_min long"
+                    ),
+                )
+                .groupBy(DST)
+                .agg(F.min("nbr_min").alias("pred"))
+            )
+        else:
+            cand = (
+                frontier.join(edges, frontier["vertex"] == edges[SRC])
+                .groupBy(DST)
+                .agg(F.min(SRC).alias("pred"))
+            )
         nxt = (
             cand.join(visited, cand[DST] == visited["vertex"], "left_anti")
-            .select(F.col(DST).alias("vertex"), F.col("pred"))
+            .select(
+                F.col(DST).cast("long").alias("vertex"),
+                F.col("pred").cast("long"),
+            )
             .transform(truncate_plan)
         )
         n_new = nxt.count()
@@ -130,7 +222,14 @@ def bfs(
             F.coalesce("predecessor", F.lit(-1)).cast("long").alias("predecessor"),
         )
     )
-    edges.unpersist()
+    if edges is not None:
+        edges.unpersist()
+    if block_cleanup is not None:
+        # every level ends in a count action, so the per-level frames
+        # are materialized before the blocks go
+        import shutil
+
+        shutil.rmtree(block_cleanup, ignore_errors=True)
     return out
 
 

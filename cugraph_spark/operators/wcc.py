@@ -164,7 +164,9 @@ def _csr_min_dense(block_dir: str, manifest: dict, meta: dict, identity: bool):
     return fn
 
 
-def _csr_min_frontier(block_dir: str, manifest: dict, meta: dict):
+def _csr_min_frontier(
+    block_dir: str, manifest: dict, meta: dict, bound_mask: bool = True
+):
     """Per-pid FRONTIER hash-min superstep: the delta (changed vertices
     + their labels) routes to its own block (pid = hash(v) is both the
     state and the edge key), ``searchsorted`` finds each frontier
@@ -225,7 +227,15 @@ def _csr_min_frontier(block_dir: str, manifest: dict, meta: dict):
             out = np.full(len(du), np.iinfo(du.dtype).max, du.dtype)
             np.minimum.at(out, codes, labs)
             vals, dsts = out, du
-        mask = vals < dsts
+        if bound_mask:
+            # WCC-only pruning: labels ≤ id ⇒ a min ≥ dst is useless.
+            # csr BFS reuses this kernel with bound_mask=False (the
+            # value is a min-id PREDECESSOR, which may exceed dst).
+            mask = vals < dsts
+        elif dense:
+            mask = vals != np.iinfo(vals.dtype).max
+        else:
+            mask = np.ones(len(vals), dtype=bool)
         return pd.DataFrame({"dst": dsts[mask], "nbr_min": vals[mask]})
 
     return fn

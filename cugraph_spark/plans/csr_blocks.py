@@ -185,6 +185,7 @@ def pack_edges(
             {
                 "P": P,
                 "ids": "dense" if dense else "dict",
+                "narrow": narrow,
                 "hi1": hi1,
                 "weighted": weight is not None,
                 "hash_t": hash_type,

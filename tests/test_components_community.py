@@ -664,3 +664,38 @@ def test_csr_block_reuse_across_runs_and_operators(spark, tmp_path):
     assert os.path.getmtime(os.path.join(bd, "meta.json")) == meta_mtime
     # blocks survive (user-owned dir is never cleaned up)
     assert os.path.exists(os.path.join(bd, "meta.json"))
+
+
+def test_bfs_csr_mode_identical(spark):
+    """bfs(mode='csr') — packed-block frontier gather per level — must
+    equal the dataframe BFS exactly: distances, min-id predecessors,
+    unreachable sentinels; directed and symmetrized graphs; block
+    reuse across calls."""
+    from cugraph_spark.operators.traversal import bfs
+
+    def _m(rows):
+        return {r["vertex"]: (r["distance"], r["predecessor"]) for r in rows}
+
+    # directed with unreachable part
+    ed = [(0, 1), (0, 2), (1, 3), (2, 4), (4, 5), (7, 8)]
+    df = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in ed], "src long, dst long, weight double"
+    )
+    G = Graph(df, directed=True)
+    assert _m(bfs(G, 0, mode="csr").collect()) == _m(bfs(G, 0).collect())
+    # symmetrized + depth limit + block reuse
+    edges = make_edges("tiny_social")
+    sym = edges + [(b, a, w) for a, b, w in edges]
+    G2 = Graph(
+        spark.createDataFrame(sym, "src long, dst long, weight double"),
+        directed=False,
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as bd:
+        a = _m(bfs(G2, 1, max_depth=2).collect())
+        b = _m(bfs(G2, 1, max_depth=2, mode="csr", block_dir=bd).collect())
+        c = _m(bfs(G2, 1, max_depth=2, mode="csr", block_dir=bd).collect())
+        assert a == b == c  # second csr call reuses the blocks
+    with pytest.raises(ValueError):
+        bfs(G2, 1, mode="nope")

@@ -32,6 +32,7 @@ L = int(sys.argv[2]) if len(sys.argv) > 2 else 512
 K = int(sys.argv[3]) if len(sys.argv) > 3 else 40_000
 
 os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
+os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
 spark = get_spark(app_name="ab_highdiam")
 
 # spine: i -- i+1 for i in [0, L-1); leaves: spine i -- L + i*K + j
